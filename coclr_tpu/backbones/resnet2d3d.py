@@ -1,0 +1,153 @@
+"""ResNet-2d3d backbone (CVRL-style R50), TPU-native.
+
+Parity target: /root/reference/backbone/resnet_2d3d.py:46-217.
+Layers 1-2 use "2D" bottlenecks ((1,3,3) middle conv, 1x1x1 reductions),
+layers 3-4 use "3D" bottlenecks ((3,1,1) temporal conv then (1,3,3) spatial).
+The final block omits its last ReLU and the network re-applies ReLU at the end
+(resnet_2d3d.py:181-184,202) — mathematically idempotent, structure preserved.
+
+Initializers per the reference: kaiming normal fan_out for convs
+(resnet_2d3d.py:150-153), BN gamma=1 beta=0 (:154-156).
+Layout [B, T, H, W, C]; bf16 conv compute / f32 params+BN.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coclr_tpu.backbones.s3d import max_pool_3d
+
+kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _conv(out, kernel, stride, padding, dtype, name):
+    return nn.Conv(
+        out,
+        kernel_size=kernel,
+        strides=stride,
+        padding=[(p, p) for p in padding],
+        use_bias=False,
+        kernel_init=kaiming_init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _bn(train, name):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """Bottleneck2d / Bottleneck3d in one module (resnet_2d3d.py:46-129).
+
+    is_3d=True: conv1 is (3,1,1) temporal (pad (1,0,0)); False: conv1 is 1x1x1.
+    `stride` is the (t, s) stride applied at conv2 as (t,s,s) — the reference
+    applies (1,stride,stride) with tuple strides carrying the temporal part
+    through the downsample path.
+    """
+
+    planes: int
+    is_3d: bool
+    stride: Tuple[int, int] = (1, 1)  # (temporal, spatial) of downsample/conv2
+    use_final_relu: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        d = self.dtype
+        expansion = 4
+        st, ss = self.stride
+        in_planes = x.shape[-1]
+        out_planes = self.planes * expansion
+
+        if self.is_3d:
+            h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, "conv1")(x)
+        else:
+            h = _conv(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv1")(x)
+        h = _bn(train, "bn1")(h)
+        h = nn.relu(h).astype(d)
+
+        # conv2 spatial (1,3,3); spatial stride only (resnet_2d3d.py:56,99)
+        h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 1, 1), d, "conv2")(h)
+        h = _bn(train, "bn2")(h)
+        h = nn.relu(h).astype(d)
+
+        h = _conv(out_planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv3")(h)
+        h = _bn(train, "bn3")(h)
+
+        if (st, ss) != (1, 1) or in_planes != out_planes:
+            # 1x1x1 conv with the customized (t,s,s) stride + BN
+            # (resnet_2d3d.py:173-176)
+            residual = _conv(out_planes, (1, 1, 1), (st, ss, ss), (0, 0, 0), d,
+                             "downsample_conv")(x)
+            residual = _bn(train, "downsample_bn")(residual)
+        else:
+            residual = x
+
+        out = h + residual.astype(h.dtype)
+        if self.use_final_relu:
+            out = nn.relu(out)
+        return out.astype(d)
+
+
+class ResNet2d3d(nn.Module):
+    """resnet_2d3d.py:133-202. blocks_3d[i] says whether layer i+1 uses 3D
+    bottlenecks; layers gives block counts."""
+
+    blocks_3d: Sequence[bool] = (False, False, True, True)
+    layers: Sequence[int] = (3, 4, 6, 3)
+    input_channel: int = 3
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+
+        x = _conv(64, (5, 7, 7), (2, 2, 2), (2, 3, 3), d, "conv1")(x)
+        x = _bn(train, "bn1")(x)
+        x = nn.relu(x).astype(d)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+
+        planes = (64, 128, 256, 512)
+        for li in range(4):
+            is_3d = self.blocks_3d[li]
+            n_blocks = self.layers[li]
+            is_final = li == 3
+            for bi in range(n_blocks):
+                if bi == 0:
+                    # layer1 stride 1; layers2-4 stride (1,2,2)
+                    # (resnet_2d3d.py:146-149)
+                    stride = (1, 1) if li == 0 else (1, 2)
+                else:
+                    stride = (1, 1)
+                use_final_relu = not (is_final and bi == n_blocks - 1)
+                x = Bottleneck(
+                    planes=planes[li],
+                    is_3d=is_3d,
+                    stride=stride,
+                    use_final_relu=use_final_relu,
+                    dtype=d,
+                    name=f"layer{li + 1}_{bi}",
+                )(x, train)
+
+        return nn.relu(x)  # forward re-applies ReLU (resnet_2d3d.py:202)
+
+
+def r2d3d50(input_channel: int = 3, dtype=jnp.bfloat16) -> ResNet2d3d:
+    """CVRL ResNet-50: 2D,2D,3D,3D bottlenecks (resnet_2d3d.py:206-210)."""
+    return ResNet2d3d(blocks_3d=(False, False, True, True), layers=(3, 4, 6, 3),
+                      input_channel=input_channel, dtype=dtype)
+
+
+def r3d50(input_channel: int = 3, dtype=jnp.bfloat16) -> ResNet2d3d:
+    """Full ResNet3D-50 (resnet_2d3d.py:213-217)."""
+    return ResNet2d3d(blocks_3d=(True, True, True, True), layers=(3, 4, 6, 3),
+                      input_channel=input_channel, dtype=dtype)

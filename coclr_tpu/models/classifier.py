@@ -1,0 +1,53 @@
+"""Linear/finetune classifier head.
+
+Parity: /root/reference/model/classifier.py:10-68 — backbone + avgpool +
+optional L2-norm + optional final BN (BatchNorm1d) + dropout + FC; returns
+(logit, pooled_feature). Head init: weight ~ N(0, 0.01), bias = 0
+(classifier.py:63-68).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from coclr_tpu.backbones import select_backbone
+
+
+class LinearClassifier(nn.Module):
+    num_class: int = 101
+    network: str = "s3d"
+    dropout: float = 0.5
+    use_dropout: bool = True
+    use_l2_norm: bool = False
+    use_final_bn: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.backbone, self.param = select_backbone(self.network, dtype=self.dtype)
+        if self.use_final_bn:
+            # torch BatchNorm1d defaults; gamma=1 beta=0 (classifier.py:33-36)
+            self.final_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                         dtype=jnp.float32, name="final_bn")
+        self.final_fc = nn.Dense(
+            self.num_class,
+            kernel_init=nn.initializers.normal(stddev=0.01),
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32, name="final_fc")
+
+    def __call__(self, x, train: bool = False):
+        """x: [B, T, H, W, C]; returns (logits [B, num_class], feat [B, fs])."""
+        feat = self.backbone(x, train=train)
+        feat = jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))
+
+        if self.use_l2_norm:
+            feat = feat / jnp.maximum(
+                jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+
+        h = feat
+        if self.use_final_bn:
+            h = self.final_bn(h, use_running_average=not train)
+        if self.use_dropout:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        logit = self.final_fc(h)
+        return logit, feat

@@ -1,0 +1,188 @@
+"""The jitted pretrain step: InfoNCE / UberNCE / CoCLR under shard_map.
+
+One fused, donated step per iteration covers what the reference spreads over
+model.forward + loss + backward + optimizer + buffer mutation
+(main_nce.py:307-343, main_coclr.py:372-423, model/pretrain.py):
+
+  augment (optional, on-device) -> q-encode -> EMA -> shuffled k-encode ->
+  logits -> variant loss -> pmean(grads) -> Adam -> all_gather(k) -> enqueue
+
+State and optimizer state are replicated across the `data` mesh axis; batches
+are sharded. Gradient averaging via `jax.lax.pmean` matches DDP's all-reduce
+mean. CoCLR's "no optimizer step until the queue is full" gate
+(main_coclr.py:403-406) is a functional select on (params, opt_state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from coclr_tpu.config import PretrainConfig
+from coclr_tpu.models import moco
+from coclr_tpu.models.moco import MoCoState
+from coclr_tpu.parallel.mesh import DATA_AXIS, shard_map_fn
+
+
+def make_optimizer(cfg: PretrainConfig):
+    """torch.optim.Adam semantics: L2 weight decay added to the gradient
+    before the moment update (main_nce.py:200)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def _split_clips(seq):
+    """[b, 2, T, H, W, C] -> (clip1, clip2) (pretrain.py:147-150)."""
+    return seq[:, 0], seq[:, 1]
+
+
+def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
+                   *, encoder, cfg: PretrainConfig, tx, axis_name,
+                   preprocess_fn):
+    rng = jax.random.fold_in(rng, 0)
+    rng_pre, rng_shuffle, rng_self = jax.random.split(rng, 3)
+
+    if preprocess_fn is not None:
+        if axis_name is not None:
+            rng_pre = jax.random.fold_in(rng_pre, jax.lax.axis_index(axis_name))
+        batch = preprocess_fn(batch, rng_pre)
+
+    variant = cfg.model
+
+    if variant == "coclr":
+        # block1/block2 carry (primary, other) modality per clip
+        # (pretrain.py:344-355); --reverse swaps roles.
+        primary = batch["seq_flow"] if cfg.reverse else batch["seq_rgb"]
+        other = batch["seq_rgb"] if cfg.reverse else batch["seq_flow"]
+        x1, x2 = _split_clips(primary)
+        _, f2 = _split_clips(other)
+    else:
+        x1, x2 = _split_clips(batch["seq"])
+        f2 = None
+
+    # EMA update before the key forward (pretrain.py:161)
+    params_k = moco.momentum_update(state.params_q, state.params_k, cfg.moco_m)
+    state = state.replace(params_k=params_k)
+
+    # key encoding with shuffle-BN (no gradients)
+    k, stats_k = moco.encode_keys(encoder, state, x2, rng_shuffle, axis_name,
+                                  cfg.bn_shuffle)
+    k = jax.lax.stop_gradient(k)
+
+    # CoCLR: frozen sampler on the other modality, eval mode
+    # (pretrain.py:379-381, main_coclr.py:363)
+    if variant == "coclr":
+        kf = encoder.apply(
+            {"params": state.params_s, "batch_stats": state.stats_s},
+            f2, train=False)
+        kf = moco.l2_normalize(kf.astype(jnp.float32))
+        kf = jax.lax.stop_gradient(kf)
+
+    # targets / masks (pre-enqueue queue contents, like the reference)
+    if variant == "ubernce":
+        mask = moco.ubernce_mask(batch["label"], state.queue_label)
+    elif variant == "coclr":
+        mask = moco.coclr_mask(kf, batch["vname"], state.queue_second,
+                               state.queue_vname, state.queue_label, cfg.topk)
+
+    queue_is_full = (jnp.all(state.queue_label != -1)
+                     if variant == "coclr" else jnp.bool_(True))
+
+    def loss_fn(params_q):
+        q, mut = encoder.apply(
+            {"params": params_q, "batch_stats": state.stats_q},
+            x1, train=True, mutable=["batch_stats"])
+        q = moco.l2_normalize(q.astype(jnp.float32))
+        logits = moco.moco_logits(q, k, state.queue, cfg.moco_t)
+        if variant == "infonce":
+            loss = moco.infonce_loss(logits)
+        elif variant == "ubernce":
+            loss = moco.ubernce_loss(logits, mask)
+        elif variant == "coclr":
+            # 90%: mask out self-similarity where other positives exist
+            # (main_coclr.py:382-390); one draw per device per step, like
+            # one random.random() per rank per iteration.
+            r = rng_self
+            if axis_name is not None:
+                r = jax.random.fold_in(r, jax.lax.axis_index(axis_name))
+            drop_self = jax.random.uniform(r) < 0.9
+            mask_sum = jnp.sum(mask, axis=1)
+            col0 = jnp.where(drop_self & (mask_sum != 1), 0.0, mask[:, 0])
+            mask_used = mask.at[:, 0].set(col0)
+            loss = moco.multi_nce_loss(logits, mask_used)
+        else:
+            raise ValueError(variant)
+        return loss, (mut["batch_stats"], logits)
+
+    (loss, (stats_q, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params_q)
+
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+
+    updates, new_opt_state = tx.update(grads, opt_state, state.params_q)
+    new_params_q = optax.apply_updates(
+        state.params_q, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+
+    # CoCLR queue-fill gate: no parameter/optimizer update until full
+    gate = queue_is_full
+    new_params_q = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(gate, new, old), new_params_q, state.params_q)
+    new_opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(gate, new, old), new_opt_state, opt_state)
+
+    # metrics (pmean over devices)
+    zeros = jnp.zeros((logits.shape[0],), jnp.int32)
+    metrics = {"loss": loss}
+    if variant == "infonce":
+        metrics["top1"], metrics["top5"] = moco.topk_accuracy(logits, zeros)
+    else:
+        metrics["top1"], metrics["top5"] = moco.mask_accuracy(logits, mask)
+        metrics["top1_self"], metrics["top5_self"] = moco.topk_accuracy(
+            logits, zeros)
+    if variant == "coclr":
+        metrics["queue_is_full"] = queue_is_full.astype(jnp.float32)
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+
+    # enqueue (post-loss, pretrain.py:188,276,416)
+    if variant == "infonce":
+        state = moco.dequeue_and_enqueue(state, k, axis_name)
+    elif variant == "ubernce":
+        state = moco.dequeue_and_enqueue(state, k, axis_name,
+                                         labels=batch["label"])
+    else:
+        state = moco.dequeue_and_enqueue(state, k, axis_name,
+                                         keys_second=kf, vnames=batch["vname"])
+
+    state = state.replace(params_q=new_params_q, stats_q=stats_q,
+                          stats_k=stats_k, step=state.step + 1)
+    return state, new_opt_state, metrics
+
+
+def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
+                       preprocess_fn: Optional[Callable] = None,
+                       donate: bool = True):
+    """Build the jitted step. With a mesh: shard_map over the `data` axis
+    (state/opt replicated, batch sharded). Without: single-device jit."""
+    tx = make_optimizer(cfg)
+    axis_name = DATA_AXIS if mesh is not None else None
+    fn = functools.partial(
+        _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
+        axis_name=axis_name, preprocess_fn=preprocess_fn)
+
+    if mesh is not None:
+        fn = shard_map_fn(
+            fn, mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P(), P()),
+        )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums), tx
