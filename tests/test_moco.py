@@ -221,7 +221,7 @@ def test_multi_device_step(encoder, variant, bn_shuffle):
     batch = {k: jnp.asarray(v) for k, v in make_batch(0, b, variant).items()}
     state2, opt_state2, metrics = step(state, opt_state, batch,
                                        jax.random.PRNGKey(1), jnp.float32(1e-3))
-    assert int(state2.queue_ptr) == b
+    assert int(state2.queue_ptr) == b % K
     assert np.isfinite(float(metrics["loss"]))
     norms = np.linalg.norm(np.asarray(state2.queue[:b]), axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
