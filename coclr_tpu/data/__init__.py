@@ -1,3 +1,3 @@
-from coclr_tpu.data.lmdb_format import LMDBReader, write_lmdb
+from coclr_tpu.data.lmdb_format import LMDBReader, LMDBWriter, write_lmdb
 
-__all__ = ["LMDBReader", "write_lmdb"]
+__all__ = ["LMDBReader", "LMDBWriter", "write_lmdb"]

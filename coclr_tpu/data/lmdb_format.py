@@ -73,10 +73,7 @@ class LMDBReader:
 
     def _read_meta(self, pageno: int):
         mm = self._mm
-        # page sizes are unknown before reading meta; metas sit at 0 and 4096
-        # only if psize==4096. liblmdb reads meta0 at offset 0 and uses its
-        # psize to find meta1; we do the same.
-        off = pageno * (self._psize_guess if pageno else 4096)
+        # meta0 is at offset 0; meta1 at psize, which meta0 tells us
         off = pageno * self._psize_guess
         vals = _META.unpack_from(mm, off + PAGEHDRSZ)
         magic, version = vals[0], vals[1]
@@ -216,7 +213,7 @@ def _align2(n: int) -> int:
 
 
 class _PageBuilder:
-    """Accumulates (key, payload, flags) nodes into one page image."""
+    """Accumulates branch nodes (key -> child pgno) into one page image."""
 
     def __init__(self, psize: int, flags: int):
         self.psize = psize
@@ -246,21 +243,14 @@ class _PageBuilder:
             ptrs.append(upper)
         lower = PAGEHDRSZ + 2 * n
         struct.pack_into("<QHHHH", buf, 0, pgno, 0, self.flags, lower, upper)
-        for i, ((key, payload, nflags), ptr) in enumerate(zip(self.nodes, ptrs)):
+        for i, ((key, _payload, child), ptr) in enumerate(zip(self.nodes, ptrs)):
             struct.pack_into("<H", buf, PAGEHDRSZ + 2 * i, ptr)
-            if self.flags & P_LEAF:
-                dsize = (len(payload) - 8 if nflags & F_BIGDATA else len(payload))
-                # for BIGDATA payload = 8-byte pgno; dsize must carry the
-                # *value* size, which the caller smuggles in via key ordering —
-                # handled by caller passing dsize explicitly instead.
-                raise AssertionError("leaf nodes rendered by _render_leaf")
-            else:
-                child = nflags  # branch: caller passes child pgno via nflags
-                lo = child & 0xFFFF
-                hi = (child >> 16) & 0xFFFF
-                fl = (child >> 32) & 0xFFFF
-                _NODEHDR.pack_into(buf, ptr, lo, hi, fl, len(key))
-                buf[ptr + 8: ptr + 8 + len(key)] = key
+            # branch node: child pgno split across lo | hi<<16 | flags<<32
+            lo = child & 0xFFFF
+            hi = (child >> 16) & 0xFFFF
+            fl = (child >> 32) & 0xFFFF
+            _NODEHDR.pack_into(buf, ptr, lo, hi, fl, len(key))
+            buf[ptr + 8: ptr + 8 + len(key)] = key
         return bytes(buf)
 
 
@@ -286,132 +276,145 @@ def _render_leaf(psize: int, pgno: int,
     return bytes(buf)
 
 
+class LMDBWriter:
+    """Streaming bulk writer. `add(key, value)` must be called in strictly
+    increasing key order (memcmp); pages are flushed to disk as they fill, so
+    memory stays O(#leaf pages) (branch separators only) no matter how large
+    the dataset is. `close()` builds the branch levels and both meta pages.
+    """
+
+    def __init__(self, path: str, psize: int = 4096,
+                 subdir: Optional[bool] = None):
+        if subdir is None:
+            # reference converter: lmdb.open(path, subdir=os.path.isdir(path))
+            # (convert_video_to_lmdb.py:48-50) -> fresh paths are plain files
+            subdir = os.path.isdir(path)
+        if subdir:
+            os.makedirs(path, exist_ok=True)
+            self.out = os.path.join(path, "data.mdb")
+        else:
+            parent = os.path.dirname(os.path.abspath(path))
+            os.makedirs(parent, exist_ok=True)
+            self.out = path
+        self.psize = psize
+        self.nodemax = _nodemax(psize)
+        self._f = open(self.out, "wb")
+        self._f.write(b"\0" * (2 * psize))  # meta placeholders
+        self._next_pg = 2
+        self._leaf: List[Tuple[bytes, bytes, int, int]] = []
+        self._leaf_used = 0
+        self._leaf_index: List[Tuple[int, bytes]] = []  # (pgno, first key)
+        self._last_key: Optional[bytes] = None
+        self.n_leaf = self.n_branch = self.n_overflow = 0
+        self.entries = 0
+
+    def _alloc(self, n: int) -> int:
+        pg = self._next_pg
+        self._next_pg += n
+        return pg
+
+    def _write_page_at(self, pgno: int, img: bytes):
+        self._f.seek(pgno * self.psize)
+        self._f.write(img)
+
+    def _flush_leaf(self):
+        if not self._leaf:
+            return
+        pgno = self._alloc(1)
+        self._write_page_at(pgno, _render_leaf(self.psize, pgno, self._leaf))
+        self._leaf_index.append((pgno, self._leaf[0][0]))
+        self.n_leaf += 1
+        self._leaf = []
+        self._leaf_used = 0
+
+    def add(self, key: bytes, value: bytes):
+        if len(key) > 511:
+            raise ValueError("key longer than LMDB maxkeysize (511)")
+        if self._last_key is not None and key <= self._last_key:
+            raise ValueError("keys must be added in strictly increasing order")
+        self._last_key = key
+
+        big = 8 + len(key) + len(value) > self.nodemax
+        payload_len = 8 if big else len(value)
+        need = _align2(8 + len(key) + payload_len) + 2
+        if PAGEHDRSZ + self._leaf_used + need > self.psize and self._leaf:
+            self._flush_leaf()
+
+        if big:
+            # OVPAGES(size, psize) = ((size + PAGEHDRSZ - 1) / psize) + 1
+            npg = (len(value) + PAGEHDRSZ - 1) // self.psize + 1
+            ovpgno = self._alloc(npg)
+            blob = bytearray(npg * self.psize)
+            struct.pack_into("<QHHI", blob, 0, ovpgno, 0, P_OVERFLOW, npg)
+            blob[PAGEHDRSZ: PAGEHDRSZ + len(value)] = value
+            self._write_page_at(ovpgno, bytes(blob))
+            self.n_overflow += npg
+            self._leaf.append((key, struct.pack("<Q", ovpgno), F_BIGDATA,
+                               len(value)))
+        else:
+            self._leaf.append((key, value, 0, len(value)))
+        self._leaf_used += need
+        self.entries += 1
+
+    def close(self):
+        self._flush_leaf()
+        level = self._leaf_index
+        depth = 1
+        while len(level) > 1:
+            next_level = []
+            i = 0
+            while i < len(level):
+                pb = _PageBuilder(self.psize, P_BRANCH)
+                first_sep = level[i][1]
+                while i < len(level):
+                    child_pgno, sep = level[i]
+                    key = b"" if not pb.nodes else sep
+                    if not pb.fits(key, b""):
+                        break
+                    pb.add(key, b"", nflags=child_pgno)
+                    i += 1
+                pgno = self._alloc(1)
+                self._write_page_at(pgno, pb.render(pgno))
+                self.n_branch += 1
+                next_level.append((pgno, first_sep))
+            level = next_level
+            depth += 1
+
+        if self.entries:
+            root = level[0][0]
+        else:
+            root, depth = P_INVALID, 0
+
+        last_pg = self._next_pg - 1
+        mapsize = max((last_pg + 1) * self.psize, 1 << 20)
+
+        def meta_page(pgno: int, txnid: int) -> bytes:
+            buf = bytearray(self.psize)
+            struct.pack_into("<QHHHH", buf, 0, pgno, 0, P_META, 0, 0)
+            free_db = (self.psize, 0, 0, 0, 0, 0, 0, P_INVALID)
+            main_db = (0, 0, depth, self.n_branch, self.n_leaf,
+                       self.n_overflow, self.entries, root)
+            _META.pack_into(buf, PAGEHDRSZ, MAGIC, DATA_VERSION, 0, mapsize,
+                            *free_db, *main_db, last_pg, txnid)
+            return bytes(buf)
+
+        self._write_page_at(0, meta_page(0, 1))
+        self._write_page_at(1, meta_page(1, 0))
+        self._f.close()
+        return self.out
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]],
                psize: int = 4096, subdir: Optional[bool] = None) -> str:
-    """Write a read-optimized LMDB data file containing `items`.
-
-    Keys are sorted (memcmp order) as liblmdb requires. Returns the data file
-    path. If `subdir` (default: path has no extension and exists as a dir or
-    endswith '.lmdb' like the reference naming), writes path/data.mdb.
-    """
-    if subdir is None:
-        subdir = not os.path.splitext(path)[1] or os.path.isdir(path)
-    if subdir:
-        os.makedirs(path, exist_ok=True)
-        out = os.path.join(path, "data.mdb")
-    else:
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        out = path
-
-    data = sorted(items, key=lambda kv: kv[0])
-    for k, _ in data:
-        if len(k) > 511:
-            raise ValueError("key longer than LMDB maxkeysize (511)")
-
-    nodemax = _nodemax(psize)
-    pages: List[bytes] = []  # built data pages, pgno = 2 + index
-
-    def alloc(n: int) -> int:
-        pgno = 2 + len(pages)
-        pages.extend([b""] * n)
-        return pgno
-
-    def put_page(pgno: int, img: bytes):
-        pages[pgno - 2] = img
-
-    # ---- leaves (+ overflow) ----
-    leaf_specs: List[List[Tuple[bytes, bytes, int, int]]] = [[]]
-    leaf_used = [0]
-    n_overflow = 0
-    overflow_jobs = []  # (key index in spec, leaf index, value)
-
-    for key, value in data:
-        if 8 + len(key) + len(value) > nodemax:
-            payload_len = 8  # u64 overflow pgno, patched later
-            nflags = F_BIGDATA
-        else:
-            payload_len = len(value)
-            nflags = 0
-        need = _align2(8 + len(key) + payload_len) + 2
-        if PAGEHDRSZ + leaf_used[-1] + need > psize and leaf_specs[-1]:
-            leaf_specs.append([])
-            leaf_used.append(0)
-        if nflags:
-            # liblmdb: OVPAGES(size, psize) = ((size + PAGEHDRSZ - 1) / psize) + 1
-            npg = (len(value) + PAGEHDRSZ - 1) // psize + 1
-            overflow_jobs.append((len(leaf_specs) - 1, len(leaf_specs[-1]),
-                                  value, npg))
-            leaf_specs[-1].append((key, b"\0" * 8, nflags, len(value)))
-        else:
-            leaf_specs[-1].append((key, value, 0, len(value)))
-        leaf_used[-1] += need
-
-    # allocate leaf pages first (contiguous), then overflow pages
-    leaf_pgnos = [alloc(1) for _ in leaf_specs]
-    for li, ni, value, npg in overflow_jobs:
-        ovpgno = alloc(npg)
-        n_overflow += npg
-        key, _, nflags, vsize = leaf_specs[li][ni]
-        leaf_specs[li][ni] = (key, struct.pack("<Q", ovpgno), nflags, vsize)
-        # overflow page images
-        blob = bytearray(npg * psize)
-        struct.pack_into("<QHHI", blob, 0, ovpgno, 0, P_OVERFLOW, npg)
-        blob[PAGEHDRSZ: PAGEHDRSZ + len(value)] = value
-        for j in range(npg):
-            put_page(ovpgno + j, bytes(blob[j * psize: (j + 1) * psize]))
-
-    for pgno, spec in zip(leaf_pgnos, leaf_specs):
-        put_page(pgno, _render_leaf(psize, pgno, spec))
-
-    n_leaf = len(leaf_pgnos)
-
-    # ---- branches bottom-up ----
-    level = [(leaf_pgnos[i], leaf_specs[i][0][0] if leaf_specs[i] else b"")
-             for i in range(n_leaf)]
-    depth = 1
-    n_branch = 0
-    while len(level) > 1:
-        next_level = []
-        i = 0
-        while i < len(level):
-            pb = _PageBuilder(psize, P_BRANCH)
-            first_sep = level[i][1]
-            while i < len(level):
-                child_pgno, sep = level[i]
-                key = b"" if not pb.nodes else sep
-                if not pb.fits(key, b""):
-                    break
-                pb.add(key, b"", nflags=child_pgno)
-                i += 1
-            pgno = alloc(1)
-            put_page(pgno, pb.render(pgno))
-            n_branch += 1
-            next_level.append((pgno, first_sep))
-        level = next_level
-        depth += 1
-
-    if data:
-        root = level[0][0]
-    else:
-        root = P_INVALID
-        depth = 0
-
-    last_pg = 1 + len(pages)
-    mapsize = max((last_pg + 1) * psize, 1 << 20)
-
-    def meta_page(pgno: int, txnid: int) -> bytes:
-        buf = bytearray(psize)
-        struct.pack_into("<QHHHH", buf, 0, pgno, 0, P_META, 0, 0)
-        free_db = (psize, 0, 0, 0, 0, 0, 0, P_INVALID)
-        main_db = (0, 0, depth, n_branch, n_leaf, n_overflow, len(data), root)
-        _META.pack_into(buf, PAGEHDRSZ, MAGIC, DATA_VERSION, 0, mapsize,
-                        *free_db, *main_db, last_pg, txnid)
-        return bytes(buf)
-
-    with open(out, "wb") as f:
-        f.write(meta_page(0, 1))
-        f.write(meta_page(1, 0))
-        for img in pages:
-            assert img, "unrendered page"
-            f.write(img)
-    return out
+    """Write a read-optimized LMDB data file containing `items` (sorted here).
+    Returns the data file path."""
+    w = LMDBWriter(path, psize=psize, subdir=subdir)
+    for k, v in sorted(items, key=lambda kv: kv[0]):
+        w.add(k, v)
+    return w.close()

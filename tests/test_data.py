@@ -1,0 +1,169 @@
+"""Data plane: LMDB format round-trip, converter schema, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from coclr_tpu.data.lmdb_format import LMDBReader, LMDBWriter, write_lmdb
+from coclr_tpu.data.pack import packb, unpackb
+from coclr_tpu.data import meta
+from coclr_tpu.data.datasets import (
+    SingleStreamDataset, TwoStreamDataset,
+    UCF101LMDB_2CLIP, UCF101Flow_LMDB_2CLIP, UCF101_2STREAM_LMDB_2CLIP,
+    UCF101LMDB,
+)
+from coclr_tpu.data.loader import Loader
+from coclr_tpu.data.synthetic import make_synthetic_ucf
+
+
+def test_lmdb_roundtrip_small_and_overflow(tmp_path):
+    rng = np.random.RandomState(0)
+    items = {}
+    for i in range(200):
+        key = b"%09d" % i
+        size = int(rng.choice([5, 100, 2000, 5000, 70000]))
+        items[key] = bytes(rng.randint(0, 256, size=size, dtype=np.uint8))
+    items[b"__meta__"] = b"hello"
+
+    path = write_lmdb(str(tmp_path / "test.lmdb"), items.items())
+    assert os.path.basename(path) == "test.lmdb"  # plain file, like reference
+
+    # subdir mode also round-trips
+    d = tmp_path / "subdir.lmdb"
+    d.mkdir()
+    p2 = write_lmdb(str(d), [(b"k", b"v")])
+    assert os.path.basename(p2) == "data.mdb"
+    with LMDBReader(str(d)) as db2:
+        assert db2.get(b"k") == b"v"
+
+    with LMDBReader(str(tmp_path / "test.lmdb")) as db:
+        assert len(db) == len(items)
+        for k, v in items.items():
+            assert db.get(k) == v, k
+        assert db.get(b"missing") is None
+        got = dict(db.items())
+        assert got == items
+
+
+def test_lmdb_many_keys_multilevel(tmp_path):
+    # enough keys to force >= 2 branch levels
+    items = [(b"%012d" % i, b"v" * (i % 37)) for i in range(20000)]
+    write_lmdb(str(tmp_path / "big.lmdb"), items)
+    with LMDBReader(str(tmp_path / "big.lmdb")) as db:
+        assert db.depth >= 3
+        assert db.get(b"%012d" % 0) == b""
+        assert db.get(b"%012d" % 19999) == b"v" * (19999 % 37)
+        assert len(list(db.keys())) == 20000
+
+
+def test_lmdb_writer_rejects_unsorted(tmp_path):
+    w = LMDBWriter(str(tmp_path / "x.lmdb"))
+    w.add(b"b", b"1")
+    with pytest.raises(ValueError):
+        w.add(b"a", b"2")
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthucf")
+    return make_synthetic_ucf(str(root), n_classes=2, n_groups=2, n_clips=2,
+                              n_frames=24, size=(64, 80))
+
+
+def test_converter_schema(synth):
+    with LMDBReader(synth["db_path"]) as db:
+        n = unpackb(db.get(b"__len__"))
+        keys = unpackb(db.get(b"__keys__"))
+        order = unpackb(db.get(b"__order__"))
+        vlen = unpackb(db.get(b"__vlen__"))
+        assert n == len(keys) == len(order) == len(vlen) == 8
+        # values are msgpack lists of JPEG byte strings
+        frames = unpackb(db.get(keys[0]))
+        assert isinstance(frames, list) and frames[0][:2] == b"\xff\xd8"
+        # __vlen__ aligned with __keys__; sorted-by-key == __order__ order
+        by_key = sorted(zip(keys, vlen))
+        name_of = {("%09d" % i).encode(): o for i, o in enumerate(order)}
+        for k, v in by_key:
+            assert k in name_of
+
+
+def test_pretrain_2clip_dataset(synth):
+    ds = UCF101LMDB_2CLIP(root=synth["root"], db_path=synth["db_path"],
+                          mode="train", num_frames=8, ds=1,
+                          return_label=True, return_source=True, img_dim=32)
+    assert len(ds) == 4  # group 1 of each class
+    s = ds[0]
+    assert s["seq"].shape == (2, 8, 32, 32, 3) and s["seq"].dtype == np.uint8
+    assert s["aug_base"].shape == (2,)
+    assert 0 <= int(s["label"]) < 2
+    assert int(s["vname"]) >= 0
+    # different epochs give different samples
+    ds.set_epoch(1)
+    s2 = ds[0]
+    assert not np.array_equal(s["seq"], s2["seq"])
+
+
+def test_flow_dataset_vlen_merge(synth):
+    ds = UCF101Flow_LMDB_2CLIP(root=synth["root"],
+                               db_path=synth["db_path_flow"],
+                               mode="train", num_frames=8, ds=1,
+                               return_label=True, img_dim=32)
+    s = ds[0]
+    assert s["seq"].shape == (2, 8, 32, 32, 3)
+
+
+def test_two_stream_dataset(synth):
+    ds = UCF101_2STREAM_LMDB_2CLIP(
+        root=synth["root"], db_path_rgb=synth["db_path"],
+        db_path_flow=synth["db_path_flow"], mode="train", num_frames=8,
+        return_label=True, return_source=True, img_dim=32)
+    s = ds[0]
+    assert s["seq_rgb"].shape == (2, 8, 32, 32, 3)
+    assert s["seq_flow"].shape == (2, 8, 32, 32, 3)
+    assert int(s["vname"]) >= 0
+
+
+def test_eval_dataset_windows(synth):
+    ds = UCF101LMDB(root=synth["root"], db_path=synth["db_path"],
+                    mode="test", num_frames=8, ds=1, return_label=True,
+                    img_dim=32)
+    s = ds[0]
+    assert s["seq"].ndim == 5 and s["seq"].shape[1:] == (8, 32, 32, 3)
+    assert s["seq"].shape[0] >= 1  # sliding windows
+
+
+def test_frame_sampler_reference_semantics():
+    rng = np.random.RandomState(0)
+    # short video: left pad with zeros
+    idx = meta.frame_sampler(rng, total=5, num_frames=8, ds=1, test_mode=False)
+    assert idx.shape == (8,)
+    assert (idx[:3] == 0).all()
+    assert (idx < 5).all()
+    # long video: contiguous window
+    idx = meta.frame_sampler(rng, total=100, num_frames=8, ds=2,
+                             test_mode=False)
+    assert np.array_equal(np.diff(idx), [2] * 7)
+    # test mode: overlapping windows, hop = T*ds//2 - 1
+    idx = meta.frame_sampler(rng, total=100, num_frames=8, ds=1,
+                             test_mode=True)
+    assert idx.ndim == 2 and idx.shape[1] == 8
+    assert idx[1, 0] - idx[0, 0] == 8 // 2 - 1
+
+
+def test_loader(synth):
+    ds = UCF101LMDB_2CLIP(root=synth["root"], db_path=synth["db_path"],
+                          mode="train", num_frames=8, return_label=True,
+                          return_source=True, img_dim=32)
+    loader = Loader(ds, batch_size=2, num_workers=2, seed=0)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    b = batches[0]
+    assert b["seq"].shape == (2, 2, 8, 32, 32, 3)
+    assert b["label"].shape == (2,)
+    # epoch changes order
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert not np.array_equal(b["index"], b1["index"]) or \
+        not np.array_equal(b["seq"], b1["seq"])
