@@ -1,0 +1,217 @@
+"""On-device augmentation (the device half of utils/augmentation.py).
+
+Host sends cropped uint8 clips + per-clip `aug_base` flags
+(coclr_tpu/data/hostaug.py); this module runs the rest of the reference's
+base/null transform inside the jitted train step, vmapped over (sample, clip):
+
+  base: ColorJitter(0.4,0.4,0.4,0.1) @ p=0.8, RandomGray @ p=0.2 (channel
+        split, channel chosen per frame), GaussianBlur(sigma U[0.1,2]) @ p=0.5,
+        HFlip @ p=0.5    (main_nce.py:373-382)
+  null: HFlip @ p=0.5 only (main_nce.py:367-371)
+
+All random draws are per clip unit (the `consistent=False, seq_len` semantics;
+a unit is T frames, or 2T rgb+flow frames for CoCLR), except the RandomGray
+channel choice, which the reference draws per frame (augmentation.py:211-216).
+Jitter op order is a random permutation like torchvision's get_params shuffle
+(augmentation.py:272-293).
+
+Numerics notes (documented divergences from PIL): uint8-rounded HSV hue
+rotation is done in float; PIL's 3-pass box-blur approximation is replaced by
+an exact separable Gaussian; contrast uses the float per-frame luma mean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+_LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601-2
+BLUR_TAPS = 13  # covers 3*sigma_max = 6 pixels each side at sigma = 2
+
+
+def _luma(x):
+    return jnp.einsum("...c,c->...", x, _LUMA)
+
+
+def adjust_brightness(x, factor):
+    return jnp.clip(x * factor, 0.0, 1.0)
+
+
+def adjust_contrast(x, factor):
+    # per-frame mean of the grayscale image (PIL ImageEnhance.Contrast)
+    mean = jnp.mean(_luma(x), axis=(-2, -1), keepdims=True)[..., None]
+    return jnp.clip(x * factor + mean * (1.0 - factor), 0.0, 1.0)
+
+
+def adjust_saturation(x, factor):
+    gray = _luma(x)[..., None]
+    return jnp.clip(x * factor + gray * (1.0 - factor), 0.0, 1.0)
+
+
+def rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return h, s, v
+
+
+def hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(x, delta):
+    h, s, v = rgb_to_hsv(x)
+    return jnp.clip(hsv_to_rgb((h + delta) % 1.0, s, v), 0.0, 1.0)
+
+
+def _gaussian_kernel(sigma, identity: bool):
+    r = BLUR_TAPS // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / jnp.maximum(sigma, 1e-6)) ** 2)
+    k = k / jnp.sum(k)
+    ident = (xs == 0).astype(jnp.float32)
+    return jnp.where(identity, ident, k)
+
+
+def gaussian_blur(x, sigma, apply):
+    """Separable Gaussian over H and W. x: [L, H, W, C] float."""
+    k = _gaussian_kernel(sigma, jnp.logical_not(apply))
+    c = x.shape[-1]
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, BLUR_TAPS, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    kh = jnp.tile(k.reshape(BLUR_TAPS, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(k.reshape(1, BLUR_TAPS, 1, 1), (1, 1, 1, c))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    return x
+
+
+def _color_jitter(x, key, apply):
+    """Random-order brightness/contrast/saturation/hue, factors per unit."""
+    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
+    fb = jnp.where(apply, jax.random.uniform(kb, (), minval=0.6, maxval=1.4), 1.0)
+    fc = jnp.where(apply, jax.random.uniform(kc, (), minval=0.6, maxval=1.4), 1.0)
+    fs = jnp.where(apply, jax.random.uniform(ks, (), minval=0.6, maxval=1.4), 1.0)
+    fh = jnp.where(apply, jax.random.uniform(kh, (), minval=-0.1, maxval=0.1), 0.0)
+    order = jax.random.permutation(kperm, 4)
+
+    def apply_op(img, op):
+        return jax.lax.switch(op, [
+            lambda a: adjust_brightness(a, fb),
+            lambda a: adjust_contrast(a, fc),
+            lambda a: adjust_saturation(a, fs),
+            lambda a: adjust_hue(a, fh),
+        ], img), None
+
+    x, _ = jax.lax.scan(apply_op, x, order)
+    return x
+
+
+def _augment_one_clip(clip_u8, base_flag, key):
+    """clip_u8: [L, S, S, 3] uint8; base_flag: bool scalar."""
+    x = clip_u8.astype(jnp.float32) / 255.0
+    k_jit, k_jitp, k_gray, k_grayc, k_blur, k_sigma, k_flip = \
+        jax.random.split(key, 7)
+    base = base_flag.astype(jnp.bool_)
+
+    # ColorJitter: RandomApply p=0.8 within the base path
+    do_jit = base & (jax.random.uniform(k_jitp) < 0.8)
+    x = _color_jitter(x, k_jit, do_jit)
+
+    # RandomGray p=0.2: decision per unit, channel per frame
+    do_gray = base & (jax.random.uniform(k_gray) < 0.2)
+    ch = jax.random.randint(k_grayc, (x.shape[0],), 0, 3)
+    sel = jax.nn.one_hot(ch, 3, dtype=x.dtype)  # [L, 3]
+    gray = jnp.einsum("lhwc,lc->lhw", x, sel)[..., None]
+    x = jnp.where(do_gray, jnp.broadcast_to(gray, x.shape), x)
+
+    # GaussianBlur p=0.5, sigma ~ U[0.1, 2]
+    do_blur = base & (jax.random.uniform(k_blur) < 0.5)
+    sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
+    x = gaussian_blur(x, sigma, do_blur)
+
+    # HFlip p=0.5 (both base and null paths)
+    do_flip = jax.random.uniform(k_flip) < 0.5
+    x = jnp.where(do_flip, x[:, :, ::-1, :], x)
+    return x
+
+
+def augment_clips(seq_u8, aug_base, rng):
+    """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
+    Returns float32 in [0,1], same shape."""
+    b, n = seq_u8.shape[:2]
+    keys = jax.random.split(rng, b * n).reshape(b, n, 2)
+    fn = jax.vmap(jax.vmap(_augment_one_clip))
+    return fn(seq_u8, aug_base.astype(jnp.bool_), keys)
+
+
+def normalize(x, mean: Tuple[float, ...] = IMAGENET_MEAN,
+              std: Tuple[float, ...] = IMAGENET_STD, dtype=jnp.bfloat16):
+    """(x - mean) / std over the channel axis (T.Normalize,
+    utils/transforms.py:57-63), cast to compute dtype."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def random_hflip_batch(x, rng):
+    """Per-sample horizontal flip (eval-side T.RandomHorizontalFlip,
+    utils/transforms.py:286-311). x: [B, ..., H, W, C]."""
+    do = jax.random.uniform(rng, (x.shape[0],) + (1,) * (x.ndim - 1)) < 0.5
+    return jnp.where(do, x[..., ::-1, :], x)
+
+
+def make_pretrain_preprocess(cfg):
+    """preprocess_fn(batch, rng) for the pretrain step: augment + normalize.
+
+    Handles single-stream ('seq') and two-stream ('seq_rgb'+'seq_flow',
+    params shared per clip unit by concatenating along the frame axis, the
+    reference's doubled-seq_len trick: main_coclr.py:448)."""
+    dtype = cfg.dtype
+
+    def fn(batch, rng):
+        out = dict(batch)
+        if "seq" in batch:
+            x = augment_clips(batch["seq"], batch["aug_base"], rng)
+            out["seq"] = normalize(x, dtype=dtype)
+        else:
+            t = batch["seq_rgb"].shape[2]
+            both = jnp.concatenate([batch["seq_rgb"], batch["seq_flow"]],
+                                   axis=2)  # [B, 2, 2T, S, S, 3]
+            both = augment_clips(both, batch["aug_base"], rng)
+            both = normalize(both, dtype=dtype)
+            out["seq_rgb"], out["seq_flow"] = both[:, :, :t], both[:, :, t:]
+        out.pop("aug_base", None)
+        return out
+
+    return fn

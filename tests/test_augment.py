@@ -1,0 +1,133 @@
+"""On-device augmentation: numerics vs PIL/torch conventions + policy flags."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coclr_tpu.ops import augment
+
+
+def rand_img(shape=(2, 8, 8, 3), seed=0):
+    return jnp.asarray(np.random.RandomState(seed).rand(*shape).astype(np.float32))
+
+
+def test_brightness_contrast_saturation():
+    x = rand_img()
+    np.testing.assert_allclose(np.asarray(augment.adjust_brightness(x, 1.0)),
+                               np.asarray(x))
+    np.testing.assert_allclose(np.asarray(augment.adjust_saturation(x, 1.0)),
+                               np.asarray(x))
+    np.testing.assert_allclose(np.asarray(augment.adjust_contrast(x, 1.0)),
+                               np.asarray(x), atol=1e-6)
+    # brightness 0 -> black; saturation 0 -> grayscale
+    assert float(jnp.max(augment.adjust_brightness(x, 0.0))) == 0.0
+    g = augment.adjust_saturation(x, 0.0)
+    np.testing.assert_allclose(np.asarray(g[..., 0]), np.asarray(g[..., 1]),
+                               atol=1e-6)
+
+
+def test_hsv_roundtrip():
+    x = rand_img(seed=3)
+    h, s, v = augment.rgb_to_hsv(x)
+    back = augment.hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+    # hue shift by 0 is identity
+    same = augment.adjust_hue(x, 0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(x), atol=1e-5)
+
+
+def test_gaussian_blur():
+    x = rand_img(shape=(1, 16, 16, 3), seed=1)
+    # identity when not applied
+    y = augment.gaussian_blur(x, 1.5, jnp.bool_(False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    # applied: mean preserved (interior), variance reduced
+    y = augment.gaussian_blur(x, 1.5, jnp.bool_(True))
+    assert float(jnp.var(y)) < float(jnp.var(x))
+    np.testing.assert_allclose(float(jnp.mean(y[:, 6:10, 6:10])),
+                               float(jnp.mean(x)), atol=0.15)
+
+
+def test_null_clip_only_flips():
+    """aug_base=0 must leave the clip untouched up to a horizontal flip."""
+    u8 = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, 1, 4, 8, 8, 3),
+                                         dtype=np.uint8))
+    for seed in range(6):
+        out = augment.augment_clips(u8, jnp.zeros((1, 1)), jax.random.PRNGKey(seed))
+        ref = np.asarray(u8[0, 0]).astype(np.float32) / 255.0
+        got = np.asarray(out[0, 0])
+        ok = (np.allclose(got, ref, atol=1e-6)
+              or np.allclose(got, ref[:, :, ::-1, :], atol=1e-6))
+        assert ok
+
+
+def test_base_clip_changes_pixels():
+    u8 = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, 1, 4, 8, 8, 3),
+                                         dtype=np.uint8))
+    changed = 0
+    for seed in range(8):
+        out = augment.augment_clips(u8, jnp.ones((1, 1)), jax.random.PRNGKey(seed))
+        ref = np.asarray(u8[0, 0]).astype(np.float32) / 255.0
+        got = np.asarray(out[0, 0])
+        if not (np.allclose(got, ref, atol=1e-3)
+                or np.allclose(got, ref[:, :, ::-1, :], atol=1e-3)):
+            changed += 1
+    assert changed >= 6  # jitter/gray/blur fire nearly always across 8 seeds
+
+
+def test_normalize_roundtrip():
+    x = rand_img(shape=(2, 4, 4, 3))
+    y = augment.normalize(x, dtype=jnp.float32)
+    mean = np.asarray(augment.IMAGENET_MEAN)
+    std = np.asarray(augment.IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(y), (np.asarray(x) - mean) / std,
+                               rtol=1e-5)
+
+
+def test_torchvision_parity_color_ops():
+    """Compare against torchvision-free torch formulas (blend semantics)."""
+    torch = pytest.importorskip("torch")
+    x = rand_img(shape=(1, 8, 8, 3), seed=7)
+    xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)  # [1,3,H,W]
+
+    # saturation blend: img*f + gray*(1-f)
+    f = 1.3
+    luma = (0.299 * xt[:, 0] + 0.587 * xt[:, 1] + 0.114 * xt[:, 2])[:, None]
+    ref = torch.clamp(xt * f + luma * (1 - f), 0, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(augment.adjust_saturation(x, f)),
+                               ref, atol=1e-5)
+
+    f = 0.7
+    mean = luma.mean()
+    ref = torch.clamp(xt * f + mean * (1 - f), 0, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(augment.adjust_contrast(x, f)),
+                               ref, atol=1e-5)
+
+
+def test_two_stream_shared_params():
+    """rgb and flow of the same clip must get identical aug params: feed
+    identical pixels, expect identical outputs."""
+    from coclr_tpu.config import PretrainConfig
+
+    cfg = PretrainConfig(compute_dtype="float32")
+    pre = augment.make_pretrain_preprocess(cfg)
+    u8 = np.random.RandomState(0).randint(0, 255, (2, 2, 4, 8, 8, 3),
+                                          dtype=np.uint8)
+    batch = {"seq_rgb": jnp.asarray(u8), "seq_flow": jnp.asarray(u8),
+             "aug_base": jnp.ones((2, 2))}
+    for seed in range(4):
+        out = pre(batch, jax.random.PRNGKey(seed))
+        a, b = np.asarray(out["seq_rgb"]), np.asarray(out["seq_flow"])
+        if np.allclose(a, b, atol=1e-5):
+            continue
+        # the only per-frame draw is the RandomGray channel choice
+        # (augmentation.py:211-216): outputs must then be per-frame grayscale
+        mean = np.asarray(augment.IMAGENET_MEAN)
+        std = np.asarray(augment.IMAGENET_STD)
+        for arr in (a, b):
+            arr = arr * std + mean  # denormalize
+            np.testing.assert_allclose(arr[..., 0], arr[..., 1], atol=1e-4)
+            np.testing.assert_allclose(arr[..., 0], arr[..., 2], atol=1e-4)
