@@ -1,0 +1,239 @@
+"""Pretraining driver: the main_nce.py / main_coclr.py equivalent loop.
+
+One process drives all chips (vs one process per GPU in the reference); the
+epoch loop, LR stepping, meters, tensorboard channels, checkpoint rotation and
+experiment-dir naming follow main_nce.py:96-353 / main_coclr.py:98-435.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from coclr_tpu.config import PretrainConfig
+from coclr_tpu.data import datasets as D
+from coclr_tpu.data.loader import Loader
+from coclr_tpu.models import moco
+from coclr_tpu.models.encoder import ProjectionEncoder
+from coclr_tpu.ops.augment import make_pretrain_preprocess
+from coclr_tpu.parallel import make_mesh, make_pretrain_step
+from coclr_tpu.parallel.mesh import DATA_AXIS
+from coclr_tpu.train import init_surgery
+from coclr_tpu.train.lr import get_lr
+from coclr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from coclr_tpu.utils.logging import Logger, PlotterThread
+from coclr_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+def set_path(cfg: PretrainConfig, coclr: bool = False):
+    """Experiment-dir naming contract (main_nce.py:426-442,
+    main_coclr.py:509-525)."""
+    if cfg.resume:
+        exp_path = os.path.dirname(os.path.dirname(cfg.resume))
+    elif cfg.test:
+        exp_path = os.path.dirname(os.path.dirname(cfg.test))
+    elif coclr:
+        exp_path = (
+            "log-{p}/{np}{model}-top{topk}{rev}_k{k}_{ds}-{dim}_{net}_"
+            "bs{bs}_lr{lr}_seq{nseq}_len{len}_ds{dsr}").format(
+                p=cfg.prefix, np=cfg.name_prefix, model=cfg.model,
+                topk=cfg.topk, rev="-R" if cfg.reverse else "", k=cfg.moco_k,
+                ds=cfg.dataset, dim=cfg.img_dim, net=cfg.net,
+                bs=cfg.batch_size, lr=cfg.lr, nseq=cfg.num_seq,
+                len=cfg.seq_len, dsr=cfg.ds)
+    else:
+        pt = ("_pt=%s" % str(cfg.pretrain).replace("/", "-")
+              if cfg.pretrain else "")
+        exp_path = (
+            "log-{p}/{np}{model}_k{k}_{ds}-{dim}_{net}_"
+            "bs{bs}_lr{lr}_seq{nseq}_len{len}_ds{dsr}{pt}").format(
+                p=cfg.prefix, np=cfg.name_prefix, model=cfg.model,
+                k=cfg.moco_k, ds=cfg.dataset, dim=cfg.img_dim, net=cfg.net,
+                bs=cfg.batch_size, lr=cfg.lr, nseq=cfg.num_seq,
+                len=cfg.seq_len, dsr=cfg.ds, pt=pt)
+    img_path = os.path.join(exp_path, "img")
+    model_path = os.path.join(exp_path, "model")
+    os.makedirs(img_path, exist_ok=True)
+    os.makedirs(model_path, exist_ok=True)
+    return img_path, model_path, exp_path
+
+
+def build_dataset(cfg: PretrainConfig, root: Optional[str] = None,
+                  db_path: Optional[str] = None,
+                  db_path_flow: Optional[str] = None):
+    """cfg.dataset -> dataset object (main_nce.py:394-411,
+    main_coclr.py:478-494)."""
+    kw = dict(mode="train", num_frames=cfg.seq_len, ds=cfg.ds,
+              return_label=True, img_dim=cfg.img_dim, seed=cfg.seed)
+    if root:
+        kw["root"] = root
+    name = cfg.dataset
+    dr = cfg.data_root
+    if name == "ucf101-2clip":
+        return D.UCF101LMDB_2CLIP(data_root=dr, db_path=db_path, **kw)
+    if name == "ucf101-f-2clip":
+        return D.UCF101Flow_LMDB_2CLIP(data_root=dr, db_path=db_path, **kw)
+    if name == "k400-2clip":
+        return D.K400_LMDB_2CLIP(data_root=dr, db_path=db_path, **kw)
+    if name == "k400-f-2clip":
+        return D.K400_Flow_LMDB_2CLIP(data_root=dr, db_path=db_path, **kw)
+    if name == "ucf101-2stream-2clip":
+        return D.UCF101_2STREAM_LMDB_2CLIP(
+            data_root=dr, db_path_rgb=db_path, db_path_flow=db_path_flow,
+            return_source=True, **kw)
+    if name == "k400-2stream-2clip":
+        return D.K400_2STREAM_LMDB_2CLIP(
+            data_root=dr, db_path_rgb=db_path, db_path_flow=db_path_flow,
+            return_source=True, **kw)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def _device_count(cfg: PretrainConfig) -> int:
+    n = len(jax.devices())
+    return min(n, cfg.num_devices) if cfg.num_devices else n
+
+
+def make_upload(mesh):
+    if mesh is None:
+        return jnp.asarray, lambda tree: tree
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl_sh = NamedSharding(mesh, P())
+
+    def put_batch(x):
+        return jax.device_put(x, data_sh)
+
+    def put_repl(tree):
+        return jax.device_put(tree, repl_sh)
+
+    return put_batch, put_repl
+
+
+def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
+                 loader=None):
+    """Train per cfg. `dataset`/`max_steps` are injectable for tests/bench."""
+    is_coclr = cfg.model == "coclr"
+    n_dev = _device_count(cfg)
+    mesh = make_mesh(cfg.num_devices) if n_dev > 1 else None
+    global_batch = cfg.batch_size * n_dev
+    assert cfg.moco_k % global_batch == 0, \
+        f"moco_k={cfg.moco_k} must be divisible by global batch {global_batch}"
+
+    print(f"=> creating {cfg.model} model with '{cfg.net}' backbone "
+          f"on {n_dev} device(s)")
+    encoder = ProjectionEncoder(network=cfg.net, dim=cfg.moco_dim,
+                                dtype=cfg.dtype)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((1, cfg.seq_len, cfg.img_dim, cfg.img_dim, 3),
+                       jnp.float32)
+    state = moco.init_moco_state(rng, encoder, cfg.model, sample,
+                                 dim=cfg.moco_dim, K=cfg.moco_k)
+    preprocess = make_pretrain_preprocess(cfg)
+    step_fn, tx = make_pretrain_step(encoder, cfg, mesh, preprocess)
+    opt_state = tx.init(state.params_q)
+
+    img_path, model_path, exp_path = set_path(cfg, coclr=is_coclr)
+    start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0
+
+    if cfg.resume and os.path.isfile(cfg.resume):
+        ckpt = load_checkpoint(cfg.resume, state_template=state,
+                               opt_template=opt_state)
+        state, opt_state = ckpt["state"], ckpt["opt_state"]
+        start_epoch = ckpt["epoch"] + 1
+        iteration = ckpt.get("iteration", 1)
+        best_acc = ckpt.get("best_acc", 0.0)
+        print(f"=> resumed '{cfg.resume}' (epoch {ckpt['epoch']})")
+    elif is_coclr and isinstance(cfg.pretrain, (tuple, list)) \
+            and list(cfg.pretrain) != ["random", "random"]:
+        state = init_surgery.coclr_surgery(state, tuple(cfg.pretrain))
+    elif cfg.pretrain and not is_coclr:
+        state = init_surgery.init_pretrain_weights(state, cfg.pretrain)
+    else:
+        print("=> train from scratch")
+
+    if dataset is None:
+        dataset = build_dataset(cfg)
+    if loader is None:
+        loader = Loader(dataset, batch_size=global_batch,
+                        num_workers=cfg.workers, seed=cfg.seed)
+
+    plotter = PlotterThread(os.path.join(img_path, "train"))
+    logger = Logger(img_path)
+    put_batch, put_repl = make_upload(mesh)
+    state, opt_state = put_repl((state, opt_state))
+    run_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    train_acc = 0.0
+    for epoch in range(start_epoch, cfg.epochs):
+        loader.set_epoch(epoch)
+        lr = get_lr(cfg, epoch)
+
+        meters = {name: AverageMeter(name) for name in
+                  ("Time", "Data", "Loss", "acc@1", "acc@5")}
+        progress = ProgressMeter(len(loader), list(meters.values()),
+                                 prefix=f"Epoch:[{epoch}]")
+        tic = time.time()
+        end = time.time()
+        pending = None  # (metrics_arrays, batch_size) from previous step
+
+        def drain(pending):
+            if pending is None:
+                return
+            m, bs = pending
+            meters["Loss"].update(float(m["loss"]), bs)
+            meters["acc@1"].update(float(m["top1"]), bs)
+            meters["acc@5"].update(float(m["top5"]), bs)
+
+        steps_this_epoch = 0
+        for idx, batch in enumerate(loader):
+            meters["Data"].update(time.time() - end)
+            batch = put_batch(batch)
+            state, opt_state, metrics = step_fn(
+                state, opt_state, batch,
+                jax.random.fold_in(run_key, iteration), jnp.float32(lr))
+            drain(pending)  # read step i-1's metrics while step i runs
+            pending = (metrics, global_batch)
+            meters["Time"].update(time.time() - end)
+            end = time.time()
+            if idx % cfg.print_freq == 0:
+                drain(pending)
+                pending = None
+                progress.display(idx)
+                plotter.add_data("local/loss", meters["Loss"].local_avg,
+                                 iteration)
+                plotter.add_data("local/top1", meters["acc@1"].local_avg,
+                                 iteration)
+            iteration += 1
+            steps_this_epoch += 1
+            if max_steps and steps_this_epoch >= max_steps:
+                break
+        drain(pending)
+
+        print(f"Epoch: [{epoch}][{steps_this_epoch}] T-epoch:"
+              f"{time.time() - tic:.2f}")
+        logger.log(f"epoch {epoch} loss {meters['Loss'].avg:.4f} "
+                   f"top1 {meters['acc@1'].avg:.4f}")
+        plotter.add_data("global/loss", meters["Loss"].avg, epoch)
+        plotter.add_data("global/top1", meters["acc@1"].avg, epoch)
+        train_acc = meters["acc@1"].avg
+
+        if (epoch % cfg.save_freq == 0) or (epoch == cfg.epochs - 1):
+            is_best = train_acc > best_acc
+            best_acc = max(train_acc, best_acc)
+            save_checkpoint(
+                {"epoch": epoch, "state": jax.device_get(state),
+                 "opt_state": jax.device_get(opt_state),
+                 "best_acc": best_acc, "iteration": iteration},
+                is_best=is_best, gap=cfg.save_freq,
+                filename=os.path.join(model_path, f"epoch{epoch}.ckpt"),
+                keep_all="k400" in cfg.dataset)
+
+    print(f"Training from ep {start_epoch} to ep {cfg.epochs} finished")
+    plotter.close()
+    return state, opt_state, {"best_acc": best_acc, "exp_path": exp_path,
+                              "train_acc": train_acc}

@@ -1,0 +1,70 @@
+"""Text logger + threaded TensorBoard writer.
+
+Parity: Logger (utils/utils.py:121-133, birth-time deltas) and PlotterThread
+(utils/tensorboard_utils.py:4-28, queue + daemon thread so writes never block
+the train loop). tensorboardX is optional; without it the plotter is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from datetime import datetime
+
+
+def strfdelta(tdelta, fmt):
+    d = {"d": tdelta.days}
+    d["h"], rem = divmod(tdelta.seconds, 3600)
+    d["m"], d["s"] = divmod(rem, 60)
+    return fmt.format(**d)
+
+
+class Logger:
+    def __init__(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        self.birth_time = datetime.now()
+        self.filepath = os.path.join(
+            path, self.birth_time.strftime("%Y-%m-%d-%H:%M:%S") + ".log")
+        with open(self.filepath, "a") as f:
+            f.write(self.birth_time.strftime("%Y-%m-%d %H:%M:%S") + "\n")
+
+    def log(self, string: str):
+        with open(self.filepath, "a") as f:
+            stamp = datetime.now() - self.birth_time
+            f.write(strfdelta(stamp, "{d}-{h:02d}:{m:02d}:{s:02d}")
+                    + "\t" + string + "\n")
+
+
+class PlotterThread:
+    """Background scalar writer; add_data never blocks on IO."""
+
+    def __init__(self, logdir: str):
+        self._writer = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(logdir=logdir)
+        except Exception:
+            return
+        self._q: "queue.Queue" = queue.Queue()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                break
+            name, value, step = item
+            self._writer.add_scalar(name, value, step)
+
+    def add_data(self, name: str, value, step: int):
+        if self._writer is not None:
+            self._q.put((name, float(value), int(step)))
+
+    def close(self):
+        if self._writer is not None:
+            self._q.put(None)
+            self._t.join(timeout=5)
+            self._writer.close()

@@ -1,0 +1,79 @@
+"""InfoNCE / UberNCE pretraining CLI — flag parity with
+/root/reference/main_nce.py:38-93 (obsolete torch-distributed launch flags are
+accepted and ignored; TPU-specific knobs are additive)."""
+
+import argparse
+
+from coclr_tpu.config import PretrainConfig
+from coclr_tpu.train.pretrain import run_pretrain
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--net', default='s3d', type=str)
+    parser.add_argument('--model', default='infonce', type=str)
+    parser.add_argument('--dataset', default='ucf101-2clip', type=str)
+    parser.add_argument('--seq_len', default=32, type=int,
+                        help='number of frames in each video block')
+    parser.add_argument('--num_seq', default=2, type=int)
+    parser.add_argument('--ds', default=1, type=int,
+                        help='frame down sampling rate')
+    parser.add_argument('--batch_size', default=32, type=int,
+                        help='per-device batch size')
+    parser.add_argument('--lr', default=1e-3, type=float)
+    parser.add_argument('--schedule', default=[120, 160], nargs='*', type=int)
+    parser.add_argument('--wd', default=1e-5, type=float)
+    parser.add_argument('--resume', default='', type=str)
+    parser.add_argument('--pretrain', default='', type=str)
+    parser.add_argument('--test', default='', type=str)
+    parser.add_argument('--epochs', default=10, type=int)
+    parser.add_argument('--start_epoch', default=0, type=int)
+    parser.add_argument('--print_freq', default=5, type=int)
+    parser.add_argument('--save_freq', default=1, type=int)
+    parser.add_argument('--img_dim', default=128, type=int)
+    parser.add_argument('--prefix', default='pretrain', type=str)
+    parser.add_argument('--name_prefix', default='', type=str)
+    parser.add_argument('-j', '--workers', default=16, type=int)
+    parser.add_argument('--seed', default=0, type=int)
+    # accepted for reference-CLI compatibility; one process drives all chips
+    parser.add_argument('--gpu', default=None)
+    parser.add_argument('--world-size', default=-1, type=int)
+    parser.add_argument('--rank', default=-1, type=int)
+    parser.add_argument('--dist-url', default='env://', type=str)
+    parser.add_argument('--dist-backend', default='ici', type=str)
+    parser.add_argument('--multiprocessing-distributed', action='store_true')
+    parser.add_argument('--local_rank', default=-1, type=int)
+    parser.add_argument('--reset_lr', action='store_true')
+    # moco
+    parser.add_argument('--moco-dim', default=128, type=int)
+    parser.add_argument('--moco-k', default=2048, type=int)
+    parser.add_argument('--moco-m', default=0.999, type=float)
+    parser.add_argument('--moco-t', default=0.07, type=float)
+    # TPU-native knobs
+    parser.add_argument('--compute_dtype', default='bfloat16', type=str)
+    parser.add_argument('--bn_shuffle', default='gather', type=str,
+                        choices=['gather', 'alltoall', 'none'])
+    parser.add_argument('--num_devices', default=0, type=int)
+    parser.add_argument('--data_root', default='', type=str)
+    parser.add_argument('--cos', action='store_true')
+    return parser.parse_args()
+
+
+def cfg_from_args(args) -> PretrainConfig:
+    return PretrainConfig(
+        net=args.net, model=args.model, dataset=args.dataset,
+        seq_len=args.seq_len, num_seq=2, ds=args.ds,
+        batch_size=args.batch_size, lr=args.lr,
+        schedule=tuple(args.schedule), wd=args.wd, epochs=args.epochs,
+        start_epoch=args.start_epoch, print_freq=args.print_freq,
+        save_freq=args.save_freq, img_dim=args.img_dim, prefix=args.prefix,
+        name_prefix=args.name_prefix, workers=args.workers, seed=args.seed,
+        resume=args.resume, pretrain=args.pretrain, test=args.test,
+        moco_dim=args.moco_dim, moco_k=args.moco_k, moco_m=args.moco_m,
+        moco_t=args.moco_t, compute_dtype=args.compute_dtype,
+        bn_shuffle=args.bn_shuffle, num_devices=args.num_devices,
+        data_root=args.data_root, cos=args.cos)
+
+
+if __name__ == '__main__':
+    run_pretrain(cfg_from_args(parse_args()))
