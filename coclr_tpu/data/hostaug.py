@@ -128,19 +128,22 @@ class EvalClipPolicy:
     FiveCrop(224)+Scale for N-crop testing."""
 
     def __init__(self, img_dim: int = 128, mode: str = "train",
-                 crop_where: Optional[int] = None, bottom_area: float = 0.2):
+                 crop_where: Optional[int] = None, bottom_area: float = 0.2,
+                 crop_size: int = 224):
         self.img_dim = img_dim
         self.mode = mode
         self.crop_where = crop_where  # FiveCrop position for test
+        self.crop_size = crop_size    # fixed-crop side (reference: 224)
 
     def crop_clip(self, rng, frames: List[np.ndarray]) -> np.ndarray:
         h_img, w_img = frames[0].shape[:2]
+        cs = min(self.crop_size, h_img, w_img)
         if self.crop_where is not None:
-            rect = five_crop_rect(w_img, h_img, (224, 224), self.crop_where)
+            rect = five_crop_rect(w_img, h_img, (cs, cs), self.crop_where)
         elif self.mode in ("train", "val", "test"):
             # RandomSizedCrop(224, consistent=True) then Scale(img_dim):
             # the crop is whatever the sampler picks; output is img_dim
             rect = sample_sized_crop(rng, w_img, h_img, 0.2)
         else:
-            rect = center_crop_rect(w_img, h_img, (224, 224))
+            rect = center_crop_rect(w_img, h_img, (cs, cs))
         return np.stack([crop_resize(f, rect, self.img_dim) for f in frames])

@@ -1,0 +1,154 @@
+"""Jitted classifier train/eval steps (finetune + linear probe).
+
+Parity: eval/main_classifier.py:111-147 (param-group policy), :308-376 (train
+loop semantics: 'last' freezes backbone AND keeps backbone BN in eval mode
+while final_bn keeps training; 'ft' trains everything with backbone at lr/10)
+and the on-device transform (hflip + jitter p=0.3 consistent + normalize).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from coclr_tpu.ops import augment
+from coclr_tpu.parallel.mesh import DATA_AXIS, shard_map_fn
+
+
+@struct.dataclass
+class ClassifierState:
+    params: Any
+    batch_stats: Any
+    step: jnp.ndarray
+
+
+def make_classifier_optimizer(cfg):
+    """torch Adam / SGD(momentum=0.9) with L2-on-grad weight decay."""
+    if cfg.optim == "adam":
+        return optax.chain(optax.add_decayed_weights(cfg.wd),
+                           optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    if cfg.optim == "sgd":
+        return optax.chain(optax.add_decayed_weights(cfg.wd),
+                           optax.trace(decay=0.9, nesterov=False))
+    raise ValueError(cfg.optim)
+
+
+def _group_scale(path_key: str, train_what: str) -> float:
+    """eval/main_classifier.py:125-147: 'last' -> backbone frozen;
+    'ft' -> backbone at lr/10; 'all' -> uniform."""
+    is_backbone = path_key == "backbone"
+    if train_what == "last":
+        return 0.0 if is_backbone else 1.0
+    if train_what == "ft":
+        return 0.1 if is_backbone else 1.0
+    return 1.0
+
+
+def scale_updates_by_group(updates, train_what: str):
+    return {k: jax.tree_util.tree_map(
+        lambda u: u * _group_scale(k, train_what), v)
+        for k, v in updates.items()}
+
+
+def preprocess_train(batch_seq_u8, rng, dtype):
+    """[B, T, S, S, 3] uint8 -> normalized float: per-sample hflip p=.5 +
+    ColorJitter(0.4,0.4,0.4,0.1) @ p=.3 consistent + normalize."""
+    x = batch_seq_u8.astype(jnp.float32) / 255.0
+
+    def per_sample(clip, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        do_jit = jax.random.uniform(k1) < 0.3
+        clip = augment._color_jitter(clip, k2, do_jit)
+        do_flip = jax.random.uniform(k3) < 0.5
+        return jnp.where(do_flip, clip[:, :, ::-1, :], clip)
+
+    keys = jax.random.split(rng, x.shape[0])
+    x = jax.vmap(per_sample)(x, keys)
+    return augment.normalize(x, dtype=dtype)
+
+
+def preprocess_eval(batch_seq_u8, dtype):
+    x = batch_seq_u8.astype(jnp.float32) / 255.0
+    return augment.normalize(x, dtype=dtype)
+
+
+def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
+                *, model, cfg, tx, axis_name):
+    if axis_name is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+    rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, 0))
+    x = preprocess_train(batch["seq"], rng_aug, cfg.dtype)
+    label = batch["label"]
+
+    train_backbone = cfg.train_what != "last"
+
+    def loss_fn(params):
+        (logits, _), mut = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, train_backbone=train_backbone,
+            mutable=["batch_stats"], rngs={"dropout": rng_drop})
+        logz = jax.nn.logsumexp(logits, axis=1)
+        loss = jnp.mean(logz - jnp.take_along_axis(
+            logits, label[:, None], axis=1)[:, 0])
+        return loss, (mut["batch_stats"], logits)
+
+    (loss, (batch_stats, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+
+    updates, opt_state = tx.update(grads, opt_state, state.params)
+    updates = scale_updates_by_group(updates, cfg.train_what)
+    params = optax.apply_updates(
+        state.params, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+
+    from coclr_tpu.models.moco import topk_accuracy
+
+    top1, top5 = topk_accuracy(logits, label)
+    metrics = {"loss": loss, "top1": top1, "top5": top5}
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return (ClassifierState(params=params, batch_stats=batch_stats,
+                            step=state.step + 1), opt_state, metrics)
+
+
+def _eval_step(state: ClassifierState, batch, *, model, cfg, axis_name):
+    x = preprocess_eval(batch["seq"], cfg.dtype)
+    logits, feat = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False)
+    label = batch["label"]
+    logz = jax.nn.logsumexp(logits, axis=1)
+    loss = jnp.mean(logz - jnp.take_along_axis(
+        logits, label[:, None], axis=1)[:, 0])
+
+    from coclr_tpu.models.moco import topk_accuracy
+
+    top1, top5 = topk_accuracy(logits, label)
+    metrics = {"loss": loss, "top1": top1, "top5": top5}
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return metrics, logits, feat
+
+
+def make_classifier_steps(model, cfg, mesh=None):
+    tx = make_classifier_optimizer(cfg)
+    axis_name = DATA_AXIS if mesh is not None else None
+    train = functools.partial(_train_step, model=model, cfg=cfg, tx=tx,
+                              axis_name=axis_name)
+    evals = functools.partial(_eval_step, model=model, cfg=cfg,
+                              axis_name=axis_name)
+    if mesh is not None:
+        train = shard_map_fn(train, mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+                             out_specs=(P(), P(), P()))
+        evals = shard_map_fn(
+            evals, mesh, in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)))
+    return (jax.jit(train, donate_argnums=(0, 1)), jax.jit(evals), tx)

@@ -34,10 +34,18 @@ class LinearClassifier(nn.Module):
             kernel_init=nn.initializers.normal(stddev=0.01),
             bias_init=nn.initializers.zeros,
             dtype=jnp.float32, name="final_fc")
+        if self.use_dropout:
+            self.drop = nn.Dropout(rate=self.dropout)
 
-    def __call__(self, x, train: bool = False):
-        """x: [B, T, H, W, C]; returns (logits [B, num_class], feat [B, fs])."""
-        feat = self.backbone(x, train=train)
+    def __call__(self, x, train: bool = False, train_backbone=None):
+        """x: [B, T, H, W, C]; returns (logits [B, num_class], feat [B, fs]).
+
+        train_backbone lets the linear-probe path keep backbone BN in eval
+        mode while final_bn keeps training (eval/main_classifier.py:473-476:
+        model.eval() + final_bn.train())."""
+        if train_backbone is None:
+            train_backbone = train
+        feat = self.backbone(x, train=train_backbone)
         feat = jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))
 
         if self.use_l2_norm:
@@ -48,6 +56,6 @@ class LinearClassifier(nn.Module):
         if self.use_final_bn:
             h = self.final_bn(h, use_running_average=not train)
         if self.use_dropout:
-            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+            h = self.drop(h, deterministic=not train)
         logit = self.final_fc(h)
         return logit, feat

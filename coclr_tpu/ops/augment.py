@@ -116,13 +116,22 @@ def gaussian_blur(x, sigma, apply):
     return x
 
 
-def _color_jitter(x, key, apply):
-    """Random-order brightness/contrast/saturation/hue, factors per unit."""
+def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
+    """Random-order brightness/contrast/saturation/hue, factors per unit.
+    strength = (b, c, s, h): factors ~ U(1-v, 1+v), hue ~ U(-h, h)."""
+    sb, sc, ss, sh = strength
     kb, kc, ks, kh, kperm = jax.random.split(key, 5)
-    fb = jnp.where(apply, jax.random.uniform(kb, (), minval=0.6, maxval=1.4), 1.0)
-    fc = jnp.where(apply, jax.random.uniform(kc, (), minval=0.6, maxval=1.4), 1.0)
-    fs = jnp.where(apply, jax.random.uniform(ks, (), minval=0.6, maxval=1.4), 1.0)
-    fh = jnp.where(apply, jax.random.uniform(kh, (), minval=-0.1, maxval=0.1), 0.0)
+    fb = jnp.where(apply,
+                   jax.random.uniform(kb, (), minval=max(0.0, 1 - sb),
+                                      maxval=1 + sb), 1.0)
+    fc = jnp.where(apply,
+                   jax.random.uniform(kc, (), minval=max(0.0, 1 - sc),
+                                      maxval=1 + sc), 1.0)
+    fs = jnp.where(apply,
+                   jax.random.uniform(ks, (), minval=max(0.0, 1 - ss),
+                                      maxval=1 + ss), 1.0)
+    fh = jnp.where(apply, jax.random.uniform(kh, (), minval=-sh, maxval=sh),
+                   0.0)
     order = jax.random.permutation(kperm, 4)
 
     def apply_op(img, op):
