@@ -46,7 +46,7 @@ def main():
         step_fn, tx = make_pretrain_step(encoder, cfg, mesh=None,
                                          preprocess_fn=make_pretrain_preprocess(cfg),
                                          donate=True)
-        opt_state = tx.init(state.params_q)
+        opt_state = jax.jit(tx.init)(state.params_q)
         rng = np.random.RandomState(0)
         batch = {
             "seq": jnp.asarray(

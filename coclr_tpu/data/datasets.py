@@ -27,7 +27,8 @@ def _default_root(style: str) -> str:
 
 
 class _LMDBEnv:
-    """One LMDB database + its metadata records."""
+    """One LMDB database + its metadata records. Uses the C++ data plane
+    (zero-copy get + native msgpack/JPEG) when built, pure Python otherwise."""
 
     def __init__(self, db_path: str, need_vlen: bool):
         self.db = LMDBReader(db_path)
@@ -38,9 +39,40 @@ class _LMDBEnv:
         # vname -> '%09d' id (lmdb_dataset.py:96-97)
         self.get_video_id = {
             o.decode(): "%09d" % i for i, o in enumerate(self.order)}
+        from coclr_tpu.data import native as _native
+
+        self.native = (_native.NativeLMDB(db_path)
+                       if _native.available() else None)
 
     def raw_frames(self, vname: str):
         return unpackb(self.db.get(self.get_video_id[vname].encode("ascii")))
+
+    def frames(self, vname: str):
+        """Native frame list when available, else list of JPEG bytes."""
+        key = self.get_video_id[vname].encode("ascii")
+        if self.native is not None:
+            fl = self.native.frame_list(key)
+            if fl is not None:
+                return fl
+        return unpackb(self.db.get(key))
+
+
+def _clip_dims(frames) -> tuple:
+    """(w, h) of frame 0 without a full decode when native."""
+    if hasattr(frames, "dims"):
+        return frames.dims(0)
+    f = hostaug.decode_jpeg(frames[0])
+    return f.shape[1], f.shape[0]
+
+
+def _decode_crop(frames, indices, rect, out_size: int) -> np.ndarray:
+    """Fused decode+crop+resize: C++ thread pool or python/cv2 fallback.
+    Returns uint8 [len(indices), out, out, 3]."""
+    if hasattr(frames, "decode_crop"):
+        return frames.decode_crop(list(int(i) for i in indices), rect,
+                                  out_size)
+    decoded = [hostaug.decode_jpeg(frames[i]) for i in indices]
+    return np.stack([hostaug.crop_resize(f, rect, out_size) for f in decoded])
 
 
 class BaseVideoDataset:
@@ -152,7 +184,8 @@ class SingleStreamDataset(BaseVideoDataset):
         vlen = int(row[self.vlen_col])
         rng = self._rng(index)
 
-        raw = self.env.raw_frames(vname)
+        frames = self.env.frames(vname)
+        w_img, h_img = _clip_dims(frames)
         out: Dict[str, np.ndarray] = {}
 
         if self.two_clip:
@@ -161,16 +194,18 @@ class SingleStreamDataset(BaseVideoDataset):
             clips = []
             for ci in range(2):
                 idxs = windows_idx[win_choice[ci]]
-                frames = [hostaug.decode_jpeg(raw[i]) for i in idxs]
-                clips.append(self.policy.crop_clip(rng, frames))
+                rect = self.policy.sample_rect(rng, w_img, h_img)
+                clips.append(self.policy.post(
+                    _decode_crop(frames, idxs, rect, self.img_dim)))
             out["seq"] = np.stack(clips)  # [2, T, S, S, 3] uint8
             out["aug_base"] = np.asarray(aug_base, np.uint8)
         else:
             windows_idx = self._sample_indices(rng, vlen)  # [n, T]
             clips = []
             for idxs in windows_idx:
-                frames = [hostaug.decode_jpeg(raw[i]) for i in idxs]
-                clips.append(self.policy.crop_clip(rng, frames))
+                rect = self.policy.sample_rect(rng, w_img, h_img)
+                clips.append(self.policy.post(
+                    _decode_crop(frames, idxs, rect, self.img_dim)))
             out["seq"] = np.stack(clips)  # [n_windows, T, S, S, 3]
 
         if self.return_label:
@@ -231,8 +266,9 @@ class TwoStreamDataset(BaseVideoDataset):
         vlabel, vname, vlen = row[2], row[3], int(row[4])
         rng = self._rng(index)
 
-        raw_rgb = self.env_rgb.raw_frames(vname)
-        raw_flow = self.env_flow.raw_frames(vname)
+        frames_rgb = self.env_rgb.frames(vname)
+        frames_flow = self.env_flow.frames(vname)
+        w_img, h_img = _clip_dims(frames_rgb)
 
         s1 = meta.frame_sampler(rng, vlen, self.num_frames, self.ds, False)
         s2 = meta.frame_sampler(rng, vlen, self.num_frames, self.ds, False)
@@ -242,12 +278,13 @@ class TwoStreamDataset(BaseVideoDataset):
         clips_rgb, clips_flow = [], []
         for ci in range(2):
             idxs = windows_idx[win_choice[ci]]
-            fr_rgb = [hostaug.decode_jpeg(raw_rgb[i]) for i in idxs]
-            fr_flow = [hostaug.decode_jpeg(raw_flow[i]) for i in idxs]
             # one crop rect for the whole rgb+flow clip unit
-            both = self.policy.crop_clip(rng, fr_rgb + fr_flow)
-            clips_rgb.append(both[:self.num_frames])
-            clips_flow.append(both[self.num_frames:])
+            # (lmdb_dataset.py:503-504 via doubled seq_len)
+            rect = self.policy.sample_rect(rng, w_img, h_img)
+            clips_rgb.append(self.policy.post(
+                _decode_crop(frames_rgb, idxs, rect, self.img_dim)))
+            clips_flow.append(self.policy.post(
+                _decode_crop(frames_flow, idxs, rect, self.img_dim)))
 
         out = {
             "seq_rgb": np.stack(clips_rgb),

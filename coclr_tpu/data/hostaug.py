@@ -116,10 +116,17 @@ class PretrainClipPolicy:
             aug_base = (first_base, not first_base)
         return windows, aug_base
 
+    def sample_rect(self, rng, w_img: int, h_img: int):
+        return sample_sized_crop(rng, w_img, h_img, self.bottom_area)
+
+    def post(self, clip: np.ndarray) -> np.ndarray:
+        return clip
+
     def crop_clip(self, rng, frames: List[np.ndarray]) -> np.ndarray:
         h_img, w_img = frames[0].shape[:2]
-        rect = sample_sized_crop(rng, w_img, h_img, self.bottom_area)
-        return np.stack([crop_resize(f, rect, self.img_dim) for f in frames])
+        rect = self.sample_rect(rng, w_img, h_img)
+        return self.post(
+            np.stack([crop_resize(f, rect, self.img_dim) for f in frames]))
 
 
 class EvalClipPolicy:
@@ -135,15 +142,21 @@ class EvalClipPolicy:
         self.crop_where = crop_where  # FiveCrop position for test
         self.crop_size = crop_size    # fixed-crop side (reference: 224)
 
-    def crop_clip(self, rng, frames: List[np.ndarray]) -> np.ndarray:
-        h_img, w_img = frames[0].shape[:2]
+    def sample_rect(self, rng, w_img: int, h_img: int):
         cs = min(self.crop_size, h_img, w_img)
         if self.crop_where is not None:
-            rect = five_crop_rect(w_img, h_img, (cs, cs), self.crop_where)
-        elif self.mode in ("train", "val", "test"):
+            return five_crop_rect(w_img, h_img, (cs, cs), self.crop_where)
+        if self.mode in ("train", "val", "test"):
             # RandomSizedCrop(224, consistent=True) then Scale(img_dim):
             # the crop is whatever the sampler picks; output is img_dim
-            rect = sample_sized_crop(rng, w_img, h_img, 0.2)
-        else:
-            rect = center_crop_rect(w_img, h_img, (cs, cs))
-        return np.stack([crop_resize(f, rect, self.img_dim) for f in frames])
+            return sample_sized_crop(rng, w_img, h_img, 0.2)
+        return center_crop_rect(w_img, h_img, (cs, cs))
+
+    def post(self, clip: np.ndarray) -> np.ndarray:
+        return clip
+
+    def crop_clip(self, rng, frames: List[np.ndarray]) -> np.ndarray:
+        h_img, w_img = frames[0].shape[:2]
+        rect = self.sample_rect(rng, w_img, h_img)
+        return self.post(
+            np.stack([crop_resize(f, rect, self.img_dim) for f in frames]))

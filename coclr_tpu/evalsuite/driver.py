@@ -90,9 +90,15 @@ def build_eval_dataset(cfg: EvalConfig, mode: str, root: Optional[str] = None,
 def init_classifier_state(cfg: EvalConfig, model) -> ClassifierState:
     sample = jnp.zeros((1, cfg.seq_len, cfg.img_dim, cfg.img_dim, 3),
                        jnp.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(cfg.seed), "dropout": jax.random.PRNGKey(1)},
-        sample, train=False)
+
+    # single compiled init program (eager per-op dispatch is prohibitively
+    # slow on the axon TPU backend)
+    @jax.jit
+    def init_fn(key):
+        return model.init({"params": key, "dropout": jax.random.PRNGKey(1)},
+                          sample, train=False)
+
+    variables = init_fn(jax.random.PRNGKey(cfg.seed))
     return ClassifierState(params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}),
                            step=jnp.zeros((), jnp.int32))
@@ -136,7 +142,7 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
     model = build_model(cfg)
     state = init_classifier_state(cfg, model)
     train_step, eval_step, tx = make_classifier_steps(model, cfg, mesh)
-    opt_state = tx.init(state.params)
+    opt_state = jax.jit(tx.init)(state.params)
 
     img_path, model_path, exp_path = set_path(cfg)
     start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0

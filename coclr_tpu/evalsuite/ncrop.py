@@ -30,11 +30,10 @@ class NCropPolicy(hostaug.EvalClipPolicy):
         super().__init__(img_dim=img_dim, mode="test", crop_where=where)
         self.flip = flip
 
-    def crop_clip(self, rng, frames):
-        out = super().crop_clip(rng, frames)
+    def post(self, clip):
         if self.flip:
-            out = out[:, :, ::-1, :]
-        return np.ascontiguousarray(out)
+            clip = np.ascontiguousarray(clip[:, :, ::-1, :])
+        return clip
 
 
 def run_ncrop_test(model, state, cfg, make_dataset, out_dir: str,

@@ -50,9 +50,27 @@ def l2_normalize(x, axis=-1, eps=1e-12):
 
 
 def init_moco_state(rng, encoder, variant: str, sample_clip,
-                    dim: int = 128, K: int = 2048) -> MoCoState:
+                    dim: int = 128, K: int = 2048,
+                    use_jit: bool = True) -> MoCoState:
     """Initialize encoders + queues. encoder_k starts as a copy of encoder_q
-    (pretrain.py:64-66); queue ~ randn, normalized (pretrain.py:69-70)."""
+    (pretrain.py:64-66); queue ~ randn, normalized (pretrain.py:69-70).
+
+    use_jit compiles the whole init as ONE program — mandatory on backends
+    where eager dispatch is a per-op round trip (axon: ~1s/op, S3D init has
+    hundreds of ops)."""
+    if use_jit:
+        import functools
+
+        fn = functools.partial(_init_moco_state_impl, encoder=encoder,
+                               variant=variant, dim=dim, K=K)
+        return jax.jit(fn)(rng, jnp.asarray(sample_clip))
+    return _init_moco_state_impl(rng, jnp.asarray(sample_clip),
+                                 encoder=encoder, variant=variant,
+                                 dim=dim, K=K)
+
+
+def _init_moco_state_impl(rng, sample_clip, *, encoder, variant: str,
+                          dim: int, K: int) -> MoCoState:
     k_init, k_queue, k_queue2 = jax.random.split(rng, 3)
     variables = encoder.init(k_init, sample_clip, train=False)
     params_q = variables["params"]

@@ -135,7 +135,7 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                                  dim=cfg.moco_dim, K=cfg.moco_k)
     preprocess = make_pretrain_preprocess(cfg)
     step_fn, tx = make_pretrain_step(encoder, cfg, mesh, preprocess)
-    opt_state = tx.init(state.params_q)
+    opt_state = jax.jit(tx.init)(state.params_q)
 
     img_path, model_path, exp_path = set_path(cfg, coclr=is_coclr)
     start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0
