@@ -44,8 +44,12 @@ def adjust_brightness(x, factor):
 
 
 def adjust_contrast(x, factor):
-    # per-frame mean of the grayscale image (PIL ImageEnhance.Contrast)
-    mean = jnp.mean(_luma(x), axis=(-2, -1), keepdims=True)[..., None]
+    # per-frame mean of the grayscale image (PIL ImageEnhance.Contrast).
+    # NB: reduce over a flattened trailing axis — reducing (-2,-1) of a 6-D
+    # array with keepdims sent the TPU compiler into a ~500s layout search.
+    luma = _luma(x)
+    mean = jnp.mean(luma.reshape(luma.shape[:-2] + (-1,)), axis=-1)
+    mean = mean[..., None, None, None]
     return jnp.clip(x * factor + mean * (1.0 - factor), 0.0, 1.0)
 
 
@@ -79,15 +83,28 @@ def hsv_to_rgb(h, s, v):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # where-chains, not jnp.choose: choose lowers to per-element gathers
+    # (~50x slower on the VPU than selects)
+    def pick(opts):
+        out = opts[5]
+        for idx in range(4, -1, -1):
+            out = jnp.where(i == idx, opts[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
 def adjust_hue(x, delta):
     h, s, v = rgb_to_hsv(x)
-    return jnp.clip(hsv_to_rgb((h + delta) % 1.0, s, v), 0.0, 1.0)
+    out = jnp.clip(hsv_to_rgb((h + delta) % 1.0, s, v), 0.0, 1.0)
+    # exact identity for delta == 0 (null path must be bit-clean)
+    return jnp.where(jnp.broadcast_to((delta == 0.0)[..., None],
+                                      out.shape) if jnp.ndim(delta) else
+                     delta == 0.0, x, out)
 
 
 def _gaussian_kernel(sigma, identity: bool):
@@ -146,16 +163,11 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
     return x
 
 
-def _augment_one_clip(clip_u8, base_flag, key):
-    """clip_u8: [L, S, S, 3] uint8; base_flag: bool scalar."""
-    x = clip_u8.astype(jnp.float32) / 255.0
-    k_jit, k_jitp, k_gray, k_grayc, k_blur, k_sigma, k_flip = \
-        jax.random.split(key, 7)
+def _gray_blur_flip(clip, base_flag, key):
+    """Per-clip tail of the base path. clip: [L, S, S, 3] float in [0,1]."""
+    k_gray, k_grayc, k_blur, k_sigma, k_flip = jax.random.split(key, 5)
     base = base_flag.astype(jnp.bool_)
-
-    # ColorJitter: RandomApply p=0.8 within the base path
-    do_jit = base & (jax.random.uniform(k_jitp) < 0.8)
-    x = _color_jitter(x, k_jit, do_jit)
+    x = clip
 
     # RandomGray p=0.2: decision per unit, channel per frame
     do_gray = base & (jax.random.uniform(k_gray) < 0.2)
@@ -175,13 +187,49 @@ def _augment_one_clip(clip_u8, base_flag, key):
     return x
 
 
-def augment_clips(seq_u8, aug_base, rng):
+def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1)):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
-    Returns float32 in [0,1], same shape."""
+    Returns float32 in [0,1], same shape.
+
+    Jitter factors are per clip unit; the op ORDER is one draw per step
+    shared by the whole batch. (The reference reshuffles per clip; under
+    vmap a per-clip lax.switch computes all four ops four times each — the
+    shared-order form runs exactly four ops per step. Factors stay per-clip,
+    so q/k decorrelation is unchanged.)"""
     b, n = seq_u8.shape[:2]
-    keys = jax.random.split(rng, b * n).reshape(b, n, 2)
-    fn = jax.vmap(jax.vmap(_augment_one_clip))
-    return fn(seq_u8, aug_base.astype(jnp.bool_), keys)
+    x = seq_u8.astype(jnp.float32) / 255.0
+    base = aug_base.astype(jnp.bool_)
+    k_jitp, k_b, k_c, k_s, k_h, k_order, k_clip = jax.random.split(rng, 7)
+
+    # ColorJitter: RandomApply p=0.8 within the base path; factors per clip
+    sb, sc, ss, sh = strength
+    do_jit = base & (jax.random.uniform(k_jitp, (b, n)) < 0.8)
+
+    def factor(key, spread, center):
+        if center == 1.0:  # b/c/s: U(max(0, 1-v), 1+v)
+            v = jax.random.uniform(key, (b, n), minval=max(0.0, 1.0 - spread),
+                                   maxval=1.0 + spread)
+        else:  # hue: U(-v, v)
+            v = jax.random.uniform(key, (b, n), minval=-spread, maxval=spread)
+        return jnp.where(do_jit, v, center)
+
+    fb = factor(k_b, sb, 1.0)[..., None, None, None, None]
+    fc = factor(k_c, sc, 1.0)[..., None, None, None, None]
+    fs = factor(k_s, ss, 1.0)[..., None, None, None, None]
+    fh = factor(k_h, sh, 0.0)[..., None, None, None]
+
+    ops = [
+        lambda a: adjust_brightness(a, fb),
+        lambda a: adjust_contrast(a, fc),
+        lambda a: adjust_saturation(a, fs),
+        lambda a: adjust_hue(a, fh),
+    ]
+    order = jax.random.permutation(k_order, 4)
+    x, _ = jax.lax.scan(
+        lambda img, op: (jax.lax.switch(op, ops, img), None), x, order)
+
+    keys = jax.random.split(k_clip, b * n).reshape(b, n, 2)
+    return jax.vmap(jax.vmap(_gray_blur_flip))(x, base, keys)
 
 
 def normalize(x, mean: Tuple[float, ...] = IMAGENET_MEAN,
