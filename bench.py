@@ -21,8 +21,20 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 55.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the fused step is a ~10-minute first
+    # compile on the axon remote compiler; repeat runs are seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from coclr_tpu.config import PretrainConfig
     from coclr_tpu.models import moco

@@ -117,6 +117,9 @@ def make_upload(mesh):
 def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                  loader=None):
     """Train per cfg. `dataset`/`max_steps` are injectable for tests/bench."""
+    from coclr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
     mesh = make_mesh(cfg.num_devices) if n_dev > 1 else None
