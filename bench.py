@@ -60,12 +60,17 @@ def main():
                                          donate=True)
         opt_state = jax.jit(tx.init)(state.params_q)
         rng = np.random.RandomState(0)
+        # device-resident batch: this bench measures the training step
+        # (aug+fwd+bwd+opt+queue). Host->device feeding overlaps with the
+        # step in the real loader; on this axon dev tunnel H2D is ~35MB/s
+        # (a tunnel artifact, not representative of a TPU host's DMA).
         batch = {
             "seq": jnp.asarray(
                 rng.randint(0, 255, (batch_size, 2, T, S, S, 3), np.uint8)),
-            "aug_base": jnp.asarray(rng.randint(0, 2, (batch_size, 2),
-                                                np.uint8)),
-            "label": jnp.asarray(rng.randint(0, 101, (batch_size,), np.int32)),
+            "aug_base": jnp.asarray(rng.randint(0, 2, (batch_size, 2))
+                                    .astype(np.uint8)),
+            "label": jnp.asarray(rng.randint(0, 101, (batch_size,))
+                                 .astype(np.int32)),
         }
         return cfg, step_fn, state, opt_state, batch
 

@@ -169,14 +169,21 @@ def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
 
 def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
                        preprocess_fn: Optional[Callable] = None,
-                       donate: bool = True):
+                       donate: bool = True, fuse_preprocess: bool = False):
     """Build the jitted step. With a mesh: shard_map over the `data` axis
-    (state/opt replicated, batch sharded). Without: single-device jit."""
+    (state/opt replicated, batch sharded). Without: single-device jit.
+
+    The preprocess (on-device augmentation) compiles as its OWN program by
+    default: fusing it into the train step sends the XLA TPU compiler into a
+    ~10-minute search (43s + 4s separately); the split costs one extra HBM
+    round-trip of the batch (~0.3ms) per step."""
     tx = make_optimizer(cfg)
     axis_name = DATA_AXIS if mesh is not None else None
+    split = preprocess_fn is not None and not fuse_preprocess
     fn = functools.partial(
         _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
-        axis_name=axis_name, preprocess_fn=preprocess_fn)
+        axis_name=axis_name,
+        preprocess_fn=None if split else preprocess_fn)
 
     if mesh is not None:
         fn = shard_map_fn(
@@ -185,4 +192,22 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
             out_specs=(P(), P(), P()),
         )
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(fn, donate_argnums=donate_argnums), tx
+    step = jax.jit(fn, donate_argnums=donate_argnums)
+    if not split:
+        return step, tx
+
+    def pre(batch, rng):
+        rng = jax.random.fold_in(rng, 1)  # disjoint from the step's fold(0)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        return preprocess_fn(batch, rng)
+
+    if mesh is not None:
+        pre = shard_map_fn(pre, mesh, in_specs=(P(DATA_AXIS), P()),
+                           out_specs=P(DATA_AXIS))
+    pre_jit = jax.jit(pre)  # batch not donated: callers may reuse buffers
+
+    def wrapped(state, opt_state, batch, rng, lr):
+        return step(state, opt_state, pre_jit(batch, rng), rng, lr)
+
+    return wrapped, tx

@@ -264,6 +264,61 @@ def torch_from_flax_proj_encoder(variables: Dict, prefix: str) -> Dict[str, np.n
     return sd
 
 
+def torch_from_moco_state(state, variant: str = "infonce"
+                          ) -> Dict[str, np.ndarray]:
+    """Full MoCo state -> reference state_dict (encoder_q/k[/sampler] +
+    queue buffers, model/pretrain.py key grammar). queue layouts transpose
+    [K,dim] <-> [dim,K]."""
+    sd = {}
+    sd.update(torch_from_flax_proj_encoder(
+        {"params": state.params_q, "batch_stats": state.stats_q}, "encoder_q."))
+    sd.update(torch_from_flax_proj_encoder(
+        {"params": state.params_k, "batch_stats": state.stats_k}, "encoder_k."))
+    sd["queue"] = np.asarray(state.queue).T.astype(np.float32)
+    sd["queue_ptr"] = np.asarray([int(state.queue_ptr)], dtype=np.int64)
+    if variant in ("ubernce", "coclr") and state.queue_label is not None:
+        sd["queue_label"] = np.asarray(state.queue_label, dtype=np.int64)
+    if variant == "coclr":
+        sd.update(torch_from_flax_proj_encoder(
+            {"params": state.params_s, "batch_stats": state.stats_s},
+            "sampler."))
+        sd["queue_second"] = np.asarray(state.queue_second).T.astype(np.float32)
+        sd["queue_vname"] = np.asarray(state.queue_vname, dtype=np.int64)
+    return sd
+
+
+def moco_state_from_torch(sd: Dict[str, np.ndarray], state_template,
+                          variant: str = "infonce"):
+    """Reference state_dict -> MoCoState (inverse of torch_from_moco_state).
+    Lets released CoCLR .pth.tar checkpoints run in this stack
+    (checkpoint-level fidelity, SURVEY.md §5.4/§7)."""
+    import jax.numpy as jnp
+
+    q = flax_from_torch_proj_encoder(sd, "encoder_q.")
+    k = flax_from_torch_proj_encoder(sd, "encoder_k.")
+    upd = dict(params_q=q["params"], stats_q=q["batch_stats"],
+               params_k=k["params"], stats_k=k["batch_stats"])
+    if "queue" in sd:
+        upd["queue"] = jnp.asarray(np.asarray(sd["queue"]).T)
+    if "queue_ptr" in sd:
+        upd["queue_ptr"] = jnp.asarray(
+            int(np.asarray(sd["queue_ptr"]).reshape(-1)[0]), jnp.int32)
+    if variant in ("ubernce", "coclr") and "queue_label" in sd:
+        upd["queue_label"] = jnp.asarray(np.asarray(sd["queue_label"]),
+                                         jnp.int32)
+    if variant == "coclr":
+        if any(key.startswith("sampler.") for key in sd):
+            s = flax_from_torch_proj_encoder(sd, "sampler.")
+            upd["params_s"] = s["params"]
+            upd["stats_s"] = s["batch_stats"]
+        if "queue_second" in sd:
+            upd["queue_second"] = jnp.asarray(np.asarray(sd["queue_second"]).T)
+        if "queue_vname" in sd:
+            upd["queue_vname"] = jnp.asarray(np.asarray(sd["queue_vname"]),
+                                             jnp.int32)
+    return state_template.replace(**upd)
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a `.pth.tar` file into numpy (torch only needed here)."""
     import torch
