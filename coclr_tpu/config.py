@@ -52,6 +52,7 @@ class PretrainConfig:
     # TPU-native knobs
     compute_dtype: str = "bfloat16"
     bn_shuffle: str = "gather"          # gather | alltoall | none
+    aug_order: str = "fixed"            # fixed | shuffle (jitter op order)
     num_devices: int = 0                # 0 = all local devices
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)

@@ -85,3 +85,55 @@ def make_synthetic_ucf(root: str, n_classes: int = 2, n_groups: int = 2,
         make_dataset_lmdb(flow_dir, db_path_flow, workers=4)
 
     return {"root": meta_dir, "db_path": db_path, "db_path_flow": db_path_flow}
+
+
+def make_synthetic_k400(root: str, n_classes: int = 2, n_videos: int = 4,
+                        n_frames: int = 24, size: Tuple[int, int] = (64, 80),
+                        flow: bool = False, seed: int = 0):
+    """K400-shaped dataset: '<class>/<video>' CSV rows (no trailing slash),
+    {train,val}_split.csv, video_source.json keyed by vname
+    (lmdb_dataset.py:569-575,823)."""
+    rng = np.random.RandomState(seed)
+    meta_dir = os.path.join(root, "meta")
+    frames_dir = os.path.join(root, "frame")
+    flow_dir = os.path.join(root, "flow")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    classes = ["action%02d" % i for i in range(n_classes)]
+    rows = []
+    source_map = {}
+    for ci, cname in enumerate(classes):
+        for v in range(n_videos):
+            vid = "vid_%s_%03d" % (cname, v)
+            nf = n_frames + rng.randint(0, 8)
+            _write_video_frames(os.path.join(frames_dir, cname, vid), nf,
+                                size, rng)
+            if flow:
+                _write_video_frames(os.path.join(flow_dir, cname, vid),
+                                    max(1, nf - 1), size, rng)
+            rows.append(("%s/%s" % (cname, vid), nf, v))
+            source_map["%s/%s" % (cname, vid)] = len(source_map)
+
+    with open(os.path.join(meta_dir, "ClassInd.txt"), "w") as f:
+        f.write("\n".join(classes) + "\n")
+    with open(os.path.join(meta_dir, "video_source.json"), "w") as f:
+        json.dump(source_map, f)
+
+    train = [r for r in rows if r[2] < max(1, n_videos - 1)]
+    val = [r for r in rows if r[2] == n_videos - 1] or train
+    for name, subset in (("train", train), ("val", val)):
+        with open(os.path.join(meta_dir, "%s_split.csv" % name), "w") as f:
+            for path, nf, _ in subset:
+                f.write("/synth/k400/%s,%d\n" % (path, nf))
+
+    out = {"root": meta_dir}
+    for split, subset_dir in (("train", frames_dir), ("val", frames_dir)):
+        db = os.path.join(root, "k400_frame_%s.lmdb" % split)
+        make_dataset_lmdb(frames_dir, db, workers=4)
+        out["db_path_%s" % split] = db
+    if flow:
+        for split in ("train", "val"):
+            db = os.path.join(root, "k400_tvl1_frame_%s.lmdb" % split)
+            make_dataset_lmdb(flow_dir, db, workers=4)
+            out["db_path_flow_%s" % split] = db
+    return out

@@ -47,9 +47,9 @@ def adjust_contrast(x, factor):
     # per-frame mean of the grayscale image (PIL ImageEnhance.Contrast).
     # NB: reduce over a flattened trailing axis — reducing (-2,-1) of a 6-D
     # array with keepdims sent the TPU compiler into a ~500s layout search.
-    luma = _luma(x)
+    luma = _luma(x).astype(jnp.float32)  # f32 accumulate even in bf16 mode
     mean = jnp.mean(luma.reshape(luma.shape[:-2] + (-1,)), axis=-1)
-    mean = mean[..., None, None, None]
+    mean = mean[..., None, None, None].astype(x.dtype)
     return jnp.clip(x * factor + mean * (1.0 - factor), 0.0, 1.0)
 
 
@@ -107,29 +107,28 @@ def adjust_hue(x, delta):
                      delta == 0.0, x, out)
 
 
-def _gaussian_kernel(sigma, identity: bool):
+def _blur_matrix(size: int, sigma, apply, dtype):
+    """Banded [size, size] Gaussian smoothing matrix (identity when not
+    applied). Rows renormalize at the borders (edge-replicate-like, closer
+    to PIL than zero padding)."""
+    i = jnp.arange(size, dtype=jnp.float32)
+    d = i[:, None] - i[None, :]
     r = BLUR_TAPS // 2
-    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (xs / jnp.maximum(sigma, 1e-6)) ** 2)
-    k = k / jnp.sum(k)
-    ident = (xs == 0).astype(jnp.float32)
-    return jnp.where(identity, ident, k)
+    k = jnp.exp(-0.5 * (d / jnp.maximum(sigma, 1e-6)) ** 2)
+    k = jnp.where(jnp.abs(d) <= r, k, 0.0)
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+    ident = jnp.eye(size, dtype=jnp.float32)
+    return jnp.where(apply, k, ident).astype(dtype)
 
 
 def gaussian_blur(x, sigma, apply):
-    """Separable Gaussian over H and W. x: [L, H, W, C] float."""
-    k = _gaussian_kernel(sigma, jnp.logical_not(apply))
-    c = x.shape[-1]
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, BLUR_TAPS, 1),
-                                        ("NHWC", "HWIO", "NHWC"))
-    kh = jnp.tile(k.reshape(BLUR_TAPS, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(k.reshape(1, BLUR_TAPS, 1, 1), (1, 1, 1, c))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
+    """Separable Gaussian over H and W as two banded matmuls — 3-channel
+    depthwise convs waste the 128-lane MXU; dense [S,S] matmuls saturate it.
+    x: [L, H, W, C] float."""
+    wh = _blur_matrix(x.shape[1], sigma, apply, x.dtype)
+    ww = _blur_matrix(x.shape[2], sigma, apply, x.dtype)
+    x = jnp.einsum("hk,lkwc->lhwc", wh, x)
+    x = jnp.einsum("wk,lhkc->lhwc", ww, x)
     return x
 
 
@@ -163,73 +162,87 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
     return x
 
 
-def _gray_blur_flip(clip, base_flag, key):
-    """Per-clip tail of the base path. clip: [L, S, S, 3] float in [0,1]."""
-    k_gray, k_grayc, k_blur, k_sigma, k_flip = jax.random.split(key, 5)
-    base = base_flag.astype(jnp.bool_)
-    x = clip
-
-    # RandomGray p=0.2: decision per unit, channel per frame
-    do_gray = base & (jax.random.uniform(k_gray) < 0.2)
-    ch = jax.random.randint(k_grayc, (x.shape[0],), 0, 3)
-    sel = jax.nn.one_hot(ch, 3, dtype=x.dtype)  # [L, 3]
-    gray = jnp.einsum("lhwc,lc->lhw", x, sel)[..., None]
-    x = jnp.where(do_gray, jnp.broadcast_to(gray, x.shape), x)
-
-    # GaussianBlur p=0.5, sigma ~ U[0.1, 2]
-    do_blur = base & (jax.random.uniform(k_blur) < 0.5)
-    sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
-    x = gaussian_blur(x, sigma, do_blur)
-
-    # HFlip p=0.5 (both base and null paths)
-    do_flip = jax.random.uniform(k_flip) < 0.5
-    x = jnp.where(do_flip, x[:, :, ::-1, :], x)
-    return x
-
-
-def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1)):
+def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
+                  dtype=jnp.float32, order_mode: str = "fixed"):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
-    Returns float32 in [0,1], same shape.
+    Returns `dtype` in [0,1], same shape.
 
-    Jitter factors are per clip unit; the op ORDER is one draw per step
-    shared by the whole batch. (The reference reshuffles per clip; under
-    vmap a per-clip lax.switch computes all four ops four times each — the
-    shared-order form runs exactly four ops per step. Factors stay per-clip,
-    so q/k decorrelation is unchanged.)"""
-    b, n = seq_u8.shape[:2]
-    x = seq_u8.astype(jnp.float32) / 255.0
-    base = aug_base.astype(jnp.bool_)
-    k_jitp, k_b, k_c, k_s, k_h, k_order, k_clip = jax.random.split(rng, 7)
+    TPU shape discipline: everything runs at rank <= 5 — elementwise jitter
+    and gray on a flattened frame axis [B*n*L, S, S, 3], blur (+flip, folded
+    into the same matrices for free) as batched [S,S] matmuls on
+    [B*n, L, S, S, 3]. Rank-6 tensors sent the XLA TPU compiler into
+    multi-minute layout searches and the 3-channel depthwise blur conv used
+    3/128 of the MXU.
+
+    Jitter factors/decisions are per clip unit (the reference's
+    consistent=False seq_len semantics); gray channel per frame. Op order:
+      'fixed'   — b->c->s->h in one fusable elementwise chain (the reference
+                  shuffles per clip; order effects are second-order in the
+                  jitter strengths)
+      'shuffle' — one random order per step via lax.scan+switch."""
+    b, n, L, S1, S2, C = seq_u8.shape
+    m = b * n
+    base = aug_base.reshape(m).astype(jnp.bool_)
+    (k_jitp, k_b, k_c, k_s, k_h, k_order, k_gray, k_grayc, k_blur, k_sigma,
+     k_flip) = jax.random.split(rng, 11)
+
+    x = seq_u8.reshape(m * L, S1, S2, C).astype(dtype)
+    x = x / jnp.asarray(255.0, dtype)
 
     # ColorJitter: RandomApply p=0.8 within the base path; factors per clip
     sb, sc, ss, sh = strength
-    do_jit = base & (jax.random.uniform(k_jitp, (b, n)) < 0.8)
+    do_jit = base & (jax.random.uniform(k_jitp, (m,)) < 0.8)
 
     def factor(key, spread, center):
         if center == 1.0:  # b/c/s: U(max(0, 1-v), 1+v)
-            v = jax.random.uniform(key, (b, n), minval=max(0.0, 1.0 - spread),
+            v = jax.random.uniform(key, (m,), minval=max(0.0, 1.0 - spread),
                                    maxval=1.0 + spread)
         else:  # hue: U(-v, v)
-            v = jax.random.uniform(key, (b, n), minval=-spread, maxval=spread)
-        return jnp.where(do_jit, v, center)
+            v = jax.random.uniform(key, (m,), minval=-spread, maxval=spread)
+        v = jnp.where(do_jit, v, center).astype(dtype)
+        return jnp.repeat(v, L)  # clip -> frame granularity [m*L]
 
-    fb = factor(k_b, sb, 1.0)[..., None, None, None, None]
-    fc = factor(k_c, sc, 1.0)[..., None, None, None, None]
-    fs = factor(k_s, ss, 1.0)[..., None, None, None, None]
-    fh = factor(k_h, sh, 0.0)[..., None, None, None]
+    fb = factor(k_b, sb, 1.0)[:, None, None, None]
+    fc = factor(k_c, sc, 1.0)[:, None, None, None]
+    fs = factor(k_s, ss, 1.0)[:, None, None, None]
+    fh = factor(k_h, sh, 0.0)[:, None, None]
 
     ops = [
-        lambda a: adjust_brightness(a, fb),
-        lambda a: adjust_contrast(a, fc),
-        lambda a: adjust_saturation(a, fs),
-        lambda a: adjust_hue(a, fh),
+        lambda a: adjust_brightness(a, fb).astype(dtype),
+        lambda a: adjust_contrast(a, fc).astype(dtype),
+        lambda a: adjust_saturation(a, fs).astype(dtype),
+        lambda a: adjust_hue(a, fh).astype(dtype),
     ]
-    order = jax.random.permutation(k_order, 4)
-    x, _ = jax.lax.scan(
-        lambda img, op: (jax.lax.switch(op, ops, img), None), x, order)
+    if order_mode == "shuffle":
+        order = jax.random.permutation(k_order, 4)
+        x, _ = jax.lax.scan(
+            lambda img, op: (jax.lax.switch(op, ops, img), None), x, order)
+    else:
+        for op in ops:
+            x = op(x)
 
-    keys = jax.random.split(k_clip, b * n).reshape(b, n, 2)
-    return jax.vmap(jax.vmap(_gray_blur_flip))(x, base, keys)
+    # RandomGray p=0.2: decision per clip, channel per frame
+    do_gray = base & (jax.random.uniform(k_gray, (m,)) < 0.2)
+    ch = jax.random.randint(k_grayc, (m * L,), 0, 3)
+    sel = jax.nn.one_hot(ch, 3, dtype=x.dtype)  # [m*L, 3]
+    gray = jnp.einsum("fhwc,fc->fhw", x, sel)[..., None]
+    x = jnp.where(jnp.repeat(do_gray, L)[:, None, None, None],
+                  gray, x)
+
+    # GaussianBlur p=0.5 (sigma per clip) + HFlip p=0.5, as two batched
+    # matmuls; the flip is a row reversal of the W-axis matrix
+    x = x.reshape(m, L, S1, S2, C)
+    do_blur = base & (jax.random.uniform(k_blur, (m,)) < 0.5)
+    sigma = jax.random.uniform(k_sigma, (m,), minval=0.1, maxval=2.0)
+    do_flip = jax.random.uniform(k_flip, (m,)) < 0.5
+
+    wh = jax.vmap(lambda s, a: _blur_matrix(S1, s, a, x.dtype))(sigma, do_blur)
+    ww = jax.vmap(lambda s, a: _blur_matrix(S2, s, a, x.dtype))(sigma, do_blur)
+    ww = jnp.where(do_flip[:, None, None], ww[:, ::-1, :], ww)
+
+    x = jnp.einsum("mhk,mlkwc->mlhwc", wh, x)
+    x = jnp.einsum("mwk,mlhkc->mlhwc", ww, x)
+    return x.reshape(b, n, L, S1, S2, C)
 
 
 def normalize(x, mean: Tuple[float, ...] = IMAGENET_MEAN,
@@ -255,17 +268,20 @@ def make_pretrain_preprocess(cfg):
     params shared per clip unit by concatenating along the frame axis, the
     reference's doubled-seq_len trick: main_coclr.py:448)."""
     dtype = cfg.dtype
+    order_mode = getattr(cfg, "aug_order", "fixed")
 
     def fn(batch, rng):
         out = dict(batch)
         if "seq" in batch:
-            x = augment_clips(batch["seq"], batch["aug_base"], rng)
+            x = augment_clips(batch["seq"], batch["aug_base"], rng,
+                              dtype=dtype, order_mode=order_mode)
             out["seq"] = normalize(x, dtype=dtype)
         else:
             t = batch["seq_rgb"].shape[2]
             both = jnp.concatenate([batch["seq_rgb"], batch["seq_flow"]],
                                    axis=2)  # [B, 2, 2T, S, S, 3]
-            both = augment_clips(both, batch["aug_base"], rng)
+            both = augment_clips(both, batch["aug_base"], rng, dtype=dtype,
+                                 order_mode=order_mode)
             both = normalize(both, dtype=dtype)
             out["seq_rgb"], out["seq_flow"] = both[:, :, :t], both[:, :, t:]
         out.pop("aug_base", None)
