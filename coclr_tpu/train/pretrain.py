@@ -101,7 +101,9 @@ def _device_count(cfg: PretrainConfig) -> int:
 
 def make_upload(mesh):
     if mesh is None:
-        return jnp.asarray, lambda tree: tree
+        # single device: batches are pytrees (dict of arrays), map per leaf
+        return (lambda tree: jax.tree.map(jnp.asarray, tree)), \
+               (lambda tree: tree)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl_sh = NamedSharding(mesh, P())
 

@@ -87,3 +87,12 @@ def test_coclr_cycle_from_pretrained(synth, tmp_path, monkeypatch):
     state, _, info = run_pretrain(cfg, dataset=ds2)
     assert np.isfinite(info["train_acc"])
     assert bool(np.all(np.asarray(state.queue_label) != -1))  # queue filled
+
+def test_infonce_single_device(synth, tmp_path, monkeypatch):
+    """num_devices=1 takes the mesh=None upload path (dict batches must be
+    uploaded per-leaf; regression for the single-chip CLI)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(num_devices=1, moco_k=8)
+    ds = _dataset(synth, cfg)
+    _, _, info = run_pretrain(cfg, dataset=ds, max_steps=2)
+    assert np.isfinite(info["train_acc"])
