@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,15 +30,27 @@ conv_init = nn.initializers.normal(stddev=0.01)
 def max_pool_3d(x, window, strides, padding):
     """3D max pool over [B, T, H, W, C]; `padding` is per-dim (lo, hi) pairs.
 
-    Torch MaxPool3d pads with -inf implicitly (s3dg.py:105,151,173,190);
-    flax max_pool does the same for explicit padding.
+    Torch MaxPool3d pads with -inf implicitly (s3dg.py:105,151,173,190).
+
+    Implemented as up to three separable 1-D max pools (max over a product
+    window == iterated per-axis max). Forward values are bitwise-identical
+    to a single 3-D reduce_window; the backward becomes three 1-D
+    select_and_scatter ops (3+3+3 window points) instead of one 3-D one
+    (27 points), which profiling showed at ~21% of the S3D train-step
+    device time. Divergence (documented): on exact ties within a window
+    the gradient routing can differ from cuDNN's first-argmax rule —
+    measure-zero for continuous activations.
     """
-    return nn.max_pool(
-        x,
-        window_shape=window,
-        strides=strides,
-        padding=[tuple(p) for p in padding],
-    )
+    for axis, (k, s, p) in enumerate(zip(window, strides, padding), start=1):
+        if k == 1 and s == 1 and tuple(p) == (0, 0):
+            continue
+        win = [1] * x.ndim
+        st = [1] * x.ndim
+        pad = [(0, 0)] * x.ndim
+        win[axis], st[axis], pad[axis] = k, s, tuple(p)
+        x = nn.max_pool(x, window_shape=tuple(win[1:-1]),
+                        strides=tuple(st[1:-1]), padding=pad[1:-1])
+    return x
 
 
 class BasicConv3d(nn.Module):
@@ -72,6 +85,70 @@ class BasicConv3d(nn.Module):
         return nn.relu(x).astype(self.dtype)
 
 
+class SpaceToDepthConv(nn.Module):
+    """Spatial (1,k,k) stride-2 conv computed as a (1,ceil((k+1)/2),·) stride-1
+    conv on 2x2 space-to-depth input — mathematically exact, same parameter
+    (canonical [1,k,k,Cin,Cout] kernel, so checkpoint interop is unchanged).
+
+    Motivation: the S3D stem convolves RGB (Cin=3), using 3/128 of each MXU
+    pass; profiling showed the stem at ~12% MXU utilization and ~12% of step
+    time. Space-to-depth packs 2x2 pixel blocks into channels (Cin 3->12) and
+    halves H,W, quadrupling systolic-array occupancy for the same math.
+    """
+
+    out_planes: int
+    kernel_size: int  # k, odd
+    padding: int      # symmetric; stride fixed at 2
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k, p, c = self.kernel_size, self.padding, x.shape[-1]
+        kernel = self.param("kernel", conv_init,
+                            (1, k, k, c, self.out_planes), jnp.float32)
+        b, t, h, w, _ = x.shape
+        out_h, out_w = (h + 2 * p - k) // 2 + 1, (w + 2 * p - k) // 2 + 1
+        # out[i] = sum_m xpad[2i+m] w[m], xpad = pad(x, p). Re-index with an
+        # even left pad P0 = p+1 (k odd => p even in our uses keeps parity):
+        # out[i] = sum_{m'=1..k} x_P0[2i+m'] w[m'-1]  ==  an (k+1)-tap kernel
+        # w8 = [0, w...] consumed as ceil((k+1)/2) taps of 2-pixel phases.
+        p0 = p + 1
+        assert p0 % 2 == 0, "space-to-depth stem expects odd k with odd pad"
+        taps = (k + 1) // 2  # number of 2-pixel taps, k odd -> (k+1)/2
+        hi_h = 2 * (out_h - 1) + k - h - p
+        hi_w = 2 * (out_w - 1) + k - w - p
+        hi_h += (p0 + h + hi_h) % 2
+        hi_w += (p0 + w + hi_w) % 2
+        xp = jnp.pad(x, ((0, 0), (0, 0), (p0, hi_h), (p0, hi_w), (0, 0)))
+        # 2x2 space-to-depth via a one-hot (1,2,2,c,4c) stride-2 conv: both
+        # strided slices (lowered to gathers, ~5ms each at stem size) and
+        # >5-D reshapes (pathological layout search) are far slower on this
+        # backend than a stride-2 conv, XLA's best-optimized data movement.
+        eye = jnp.zeros((1, 2, 2, c, 4 * c), self.dtype)
+        for ph in (0, 1):
+            for pw in (0, 1):
+                eye = eye.at[0, ph, pw,
+                             jnp.arange(c),
+                             (ph * 2 + pw) * c + jnp.arange(c)].set(1)
+        xs2d = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), eye,
+            window_strides=(1, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=self.dtype)
+        # kernel: [1,k,k,c,o] -> [1,k+1,k+1,c,o] (zero tap at index 0)
+        #   -> [1,taps,2,taps,2,c,o] -> [1,taps,taps,2,2,c,o] -> [1,taps,taps,4c,o]
+        w8 = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = w8.reshape(1, taps, 2, taps, 2, c, self.out_planes)
+        w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+            1, taps, taps, 4 * c, self.out_planes)
+        y = jax.lax.conv_general_dilated(
+            xs2d, w2.astype(self.dtype),
+            window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=self.dtype)
+        return y[:, :, :out_h, :out_w, :]
+
+
 class STConv3d(nn.Module):
     """Separable spatio-temporal conv: (1,k,k) then (k,1,1), each +BN+ReLU
     (s3dg.py:30-65)."""
@@ -81,22 +158,27 @@ class STConv3d(nn.Module):
     stride: Sequence[int]  # (t_stride, s_stride) expanded from ref's int/tuple
     padding: int
     dtype: jnp.dtype = jnp.bfloat16
+    s2d_spatial: bool = False  # exact space-to-depth path for the RGB stem
 
     @nn.compact
     def __call__(self, x, train: bool):
         k, p = self.kernel_size, self.padding
         t_stride, s_stride = self.stride
-        x = nn.Conv(
-            self.out_planes,
-            kernel_size=(1, k, k),
-            strides=(1, s_stride, s_stride),
-            padding=[(0, 0), (p, p), (p, p)],
-            use_bias=False,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(x)
+        if self.s2d_spatial and s_stride == 2:
+            x = SpaceToDepthConv(self.out_planes, k, p, self.dtype,
+                                 name="conv1")(x)
+        else:
+            x = nn.Conv(
+                self.out_planes,
+                kernel_size=(1, k, k),
+                strides=(1, s_stride, s_stride),
+                padding=[(0, 0), (p, p), (p, p)],
+                use_bias=False,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn1",
@@ -181,7 +263,8 @@ class S3D(nn.Module):
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
-        x = STConv3d(64, 7, (t_stride, 2), 3, d, name="Conv_1a")(x, train)
+        x = STConv3d(64, 7, (t_stride, 2), 3, d, s2d_spatial=True,
+                     name="Conv_1a")(x, train)
 
         # block2 (s3dg.py:151-158)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])

@@ -53,7 +53,9 @@ class PretrainConfig:
     compute_dtype: str = "bfloat16"
     bn_shuffle: str = "gather"          # gather | alltoall | none
     aug_order: str = "fixed"            # fixed | shuffle (jitter op order)
+    aug_backend: str = "auto"           # auto | pallas | xla
     num_devices: int = 0                # 0 = all local devices
+    dcn_size: int = 1                   # >1: multi-slice DP over a dcn axis
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)
 

@@ -163,9 +163,18 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
 
 
 def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
-                  dtype=jnp.float32, order_mode: str = "fixed"):
+                  dtype=jnp.float32, order_mode: str = "fixed",
+                  backend: str = "xla", normalize_out: bool = False):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
-    Returns `dtype` in [0,1], same shape.
+    Returns `dtype` in [0,1] ([0,1]-normalized when `normalize_out`), same
+    shape.
+
+    backend='pallas' runs the elementwise chain (u8 decode, jitter, gray,
+    normalize) as one fused VMEM-resident TPU kernel
+    (coclr_tpu/ops/pallas_aug.py, ~4x fewer HBM passes); 'xla' is the
+    portable jnp path. Identical jax.random streams, so both backends draw
+    the same augmentation parameters; numerics differ only by f32-vs-dtype
+    rounding (and hue branch ties on clipped pixels).
 
     TPU shape discipline: everything runs at rank <= 5 — elementwise jitter
     and gray on a flattened frame axis [B*n*L, S, S, 3], blur (+flip, folded
@@ -186,9 +195,6 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
     (k_jitp, k_b, k_c, k_s, k_h, k_order, k_gray, k_grayc, k_blur, k_sigma,
      k_flip) = jax.random.split(rng, 11)
 
-    x = seq_u8.reshape(m * L, S1, S2, C).astype(dtype)
-    x = x / jnp.asarray(255.0, dtype)
-
     # ColorJitter: RandomApply p=0.8 within the base path; factors per clip
     sb, sc, ss, sh = strength
     do_jit = base & (jax.random.uniform(k_jitp, (m,)) < 0.8)
@@ -199,19 +205,54 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
                                    maxval=1.0 + spread)
         else:  # hue: U(-v, v)
             v = jax.random.uniform(key, (m,), minval=-spread, maxval=spread)
-        v = jnp.where(do_jit, v, center).astype(dtype)
+        v = jnp.where(do_jit, v, center)
         return jnp.repeat(v, L)  # clip -> frame granularity [m*L]
 
-    fb = factor(k_b, sb, 1.0)[:, None, None, None]
-    fc = factor(k_c, sc, 1.0)[:, None, None, None]
-    fs = factor(k_s, ss, 1.0)[:, None, None, None]
-    fh = factor(k_h, sh, 0.0)[:, None, None]
+    fb = factor(k_b, sb, 1.0)
+    fc = factor(k_c, sc, 1.0)
+    fs = factor(k_s, ss, 1.0)
+    fh = factor(k_h, sh, 0.0)
 
+    # RandomGray p=0.2: decision per clip, channel per frame
+    do_gray = jnp.repeat(base & (jax.random.uniform(k_gray, (m,)) < 0.2), L)
+    ch = jax.random.randint(k_grayc, (m * L,), 0, 3)
+
+    # GaussianBlur p=0.5 (sigma per clip) + HFlip p=0.5 draws
+    do_blur = base & (jax.random.uniform(k_blur, (m,)) < 0.5)
+    sigma = jax.random.uniform(k_sigma, (m,), minval=0.1, maxval=2.0)
+    do_flip = jax.random.uniform(k_flip, (m,)) < 0.5
+
+    if backend == "pallas" and order_mode == "fixed":
+        from coclr_tpu.ops.pallas_aug import fused_jitter_normalize
+
+        gray_sel = jnp.where(do_gray, ch, -1)
+        xp = jnp.transpose(seq_u8.reshape(m * L, S1, S2, C), (0, 3, 1, 2))
+        x = fused_jitter_normalize(
+            xp, fb, fc, fs, fh, gray_sel, out_dtype=dtype,
+            mean=IMAGENET_MEAN if normalize_out else (0.0, 0.0, 0.0),
+            std=IMAGENET_STD if normalize_out else (1.0, 1.0, 1.0))
+        # blur + flip in planar layout, then one transpose back
+        x = x.reshape(m, L, C, S1, S2)
+        wh = jax.vmap(lambda s, a: _blur_matrix(S1, s, a, dtype))(sigma, do_blur)
+        ww = jax.vmap(lambda s, a: _blur_matrix(S2, s, a, dtype))(sigma, do_blur)
+        ww = jnp.where(do_flip[:, None, None], ww[:, ::-1, :], ww)
+        x = jnp.einsum("mhk,mlckw->mlchw", wh, x)
+        x = jnp.einsum("mwk,mlchk->mlchw", ww, x)
+        x = jnp.transpose(x.reshape(m * L, C, S1, S2), (0, 2, 3, 1))
+        return x.reshape(b, n, L, S1, S2, C)
+
+    x = seq_u8.reshape(m * L, S1, S2, C).astype(dtype)
+    x = x / jnp.asarray(255.0, dtype)
+
+    fb_ = fb.astype(dtype)[:, None, None, None]
+    fc_ = fc.astype(dtype)[:, None, None, None]
+    fs_ = fs.astype(dtype)[:, None, None, None]
+    fh_ = fh.astype(dtype)[:, None, None]
     ops = [
-        lambda a: adjust_brightness(a, fb).astype(dtype),
-        lambda a: adjust_contrast(a, fc).astype(dtype),
-        lambda a: adjust_saturation(a, fs).astype(dtype),
-        lambda a: adjust_hue(a, fh).astype(dtype),
+        lambda a: adjust_brightness(a, fb_).astype(dtype),
+        lambda a: adjust_contrast(a, fc_).astype(dtype),
+        lambda a: adjust_saturation(a, fs_).astype(dtype),
+        lambda a: adjust_hue(a, fh_).astype(dtype),
     ]
     if order_mode == "shuffle":
         order = jax.random.permutation(k_order, 4)
@@ -221,28 +262,23 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
         for op in ops:
             x = op(x)
 
-    # RandomGray p=0.2: decision per clip, channel per frame
-    do_gray = base & (jax.random.uniform(k_gray, (m,)) < 0.2)
-    ch = jax.random.randint(k_grayc, (m * L,), 0, 3)
     sel = jax.nn.one_hot(ch, 3, dtype=x.dtype)  # [m*L, 3]
     gray = jnp.einsum("fhwc,fc->fhw", x, sel)[..., None]
-    x = jnp.where(jnp.repeat(do_gray, L)[:, None, None, None],
-                  gray, x)
+    x = jnp.where(do_gray[:, None, None, None], gray, x)
 
-    # GaussianBlur p=0.5 (sigma per clip) + HFlip p=0.5, as two batched
-    # matmuls; the flip is a row reversal of the W-axis matrix
+    # blur + flip as two batched matmuls; the flip is a row reversal of the
+    # W-axis matrix
     x = x.reshape(m, L, S1, S2, C)
-    do_blur = base & (jax.random.uniform(k_blur, (m,)) < 0.5)
-    sigma = jax.random.uniform(k_sigma, (m,), minval=0.1, maxval=2.0)
-    do_flip = jax.random.uniform(k_flip, (m,)) < 0.5
-
     wh = jax.vmap(lambda s, a: _blur_matrix(S1, s, a, x.dtype))(sigma, do_blur)
     ww = jax.vmap(lambda s, a: _blur_matrix(S2, s, a, x.dtype))(sigma, do_blur)
     ww = jnp.where(do_flip[:, None, None], ww[:, ::-1, :], ww)
 
     x = jnp.einsum("mhk,mlkwc->mlhwc", wh, x)
     x = jnp.einsum("mwk,mlhkc->mlhwc", ww, x)
-    return x.reshape(b, n, L, S1, S2, C)
+    x = x.reshape(b, n, L, S1, S2, C)
+    if normalize_out:
+        x = normalize(x, dtype=dtype)
+    return x
 
 
 def normalize(x, mean: Tuple[float, ...] = IMAGENET_MEAN,
@@ -269,20 +305,26 @@ def make_pretrain_preprocess(cfg):
     reference's doubled-seq_len trick: main_coclr.py:448)."""
     dtype = cfg.dtype
     order_mode = getattr(cfg, "aug_order", "fixed")
+    backend = getattr(cfg, "aug_backend", "auto")
+    if backend == "auto":
+        import jax as _jax
+
+        backend = ("pallas" if _jax.default_backend() in ("tpu", "axon")
+                   and order_mode == "fixed" else "xla")
 
     def fn(batch, rng):
         out = dict(batch)
         if "seq" in batch:
-            x = augment_clips(batch["seq"], batch["aug_base"], rng,
-                              dtype=dtype, order_mode=order_mode)
-            out["seq"] = normalize(x, dtype=dtype)
+            out["seq"] = augment_clips(
+                batch["seq"], batch["aug_base"], rng, dtype=dtype,
+                order_mode=order_mode, backend=backend, normalize_out=True)
         else:
             t = batch["seq_rgb"].shape[2]
             both = jnp.concatenate([batch["seq_rgb"], batch["seq_flow"]],
                                    axis=2)  # [B, 2, 2T, S, S, 3]
             both = augment_clips(both, batch["aug_base"], rng, dtype=dtype,
-                                 order_mode=order_mode)
-            both = normalize(both, dtype=dtype)
+                                 order_mode=order_mode, backend=backend,
+                                 normalize_out=True)
             out["seq_rgb"], out["seq_flow"] = both[:, :, :t], both[:, :, t:]
         out.pop("aug_base", None)
         return out

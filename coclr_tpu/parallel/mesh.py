@@ -20,15 +20,39 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
-def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` local devices."""
+def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
+              dcn_size: int = 1) -> Mesh:
+    """Data-parallel mesh over the first `num_devices` local devices.
+
+    dcn_size > 1 adds a leading `dcn` axis for multi-slice DP: a 2-D
+    (dcn, data) mesh where within-slice collectives ride ICI and only the
+    hierarchical reduction crosses DCN (XLA decomposes multi-axis psum /
+    all_gather that way). Collectives span both axes so semantics equal a
+    flat `data` axis of the same total size (SURVEY.md §2.9: the reference
+    has no multi-node analogue beyond flat NCCL DDP).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if dcn_size and dcn_size > 1:
+        assert devices.size % dcn_size == 0, \
+            f"{devices.size} devices not divisible by dcn_size={dcn_size}"
+        return Mesh(devices.reshape(dcn_size, -1), (DCN_AXIS, DATA_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
+
+
+def mesh_axes(mesh: Optional[Mesh]):
+    """The axis-name argument for collectives over `mesh`: None (no mesh),
+    a single name (1-D), or a tuple (multi-slice)."""
+    if mesh is None:
+        return None
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
 
 
 def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
@@ -42,4 +66,5 @@ def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
                           check_rep=check_rep)
 
 
-__all__ = ["make_mesh", "shard_map_fn", "Mesh", "P", "DATA_AXIS"]
+__all__ = ["make_mesh", "mesh_axes", "shard_map_fn", "Mesh", "P",
+           "DATA_AXIS", "DCN_AXIS"]

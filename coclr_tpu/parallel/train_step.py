@@ -26,7 +26,7 @@ from jax.sharding import PartitionSpec as P
 from coclr_tpu.config import PretrainConfig
 from coclr_tpu.models import moco
 from coclr_tpu.models.moco import MoCoState
-from coclr_tpu.parallel.mesh import DATA_AXIS, shard_map_fn
+from coclr_tpu.parallel.mesh import DATA_AXIS, mesh_axes, shard_map_fn
 
 
 def make_optimizer(cfg: PretrainConfig):
@@ -178,7 +178,8 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     ~10-minute search (43s + 4s separately); the split costs one extra HBM
     round-trip of the batch (~0.3ms) per step."""
     tx = make_optimizer(cfg)
-    axis_name = DATA_AXIS if mesh is not None else None
+    axis_name = mesh_axes(mesh)  # 'data', ('dcn','data'), or None
+    batch_spec = P(axis_name) if mesh is not None else None
     split = preprocess_fn is not None and not fuse_preprocess
     fn = functools.partial(
         _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
@@ -188,7 +189,7 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     if mesh is not None:
         fn = shard_map_fn(
             fn, mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+            in_specs=(P(), P(), batch_spec, P(), P()),
             out_specs=(P(), P(), P()),
         )
     donate_argnums = (0, 1) if donate else ()
@@ -203,8 +204,8 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
         return preprocess_fn(batch, rng)
 
     if mesh is not None:
-        pre = shard_map_fn(pre, mesh, in_specs=(P(DATA_AXIS), P()),
-                           out_specs=P(DATA_AXIS))
+        pre = shard_map_fn(pre, mesh, in_specs=(batch_spec, P()),
+                           out_specs=batch_spec)
     pre_jit = jax.jit(pre)  # batch not donated: callers may reuse buffers
 
     def wrapped(state, opt_state, batch, rng, lr):

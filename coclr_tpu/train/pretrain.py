@@ -23,7 +23,7 @@ from coclr_tpu.models import moco
 from coclr_tpu.models.encoder import ProjectionEncoder
 from coclr_tpu.ops.augment import make_pretrain_preprocess
 from coclr_tpu.parallel import make_mesh, make_pretrain_step
-from coclr_tpu.parallel.mesh import DATA_AXIS
+from coclr_tpu.parallel.mesh import DATA_AXIS, mesh_axes
 from coclr_tpu.train import init_surgery
 from coclr_tpu.train.lr import get_lr
 from coclr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -104,7 +104,7 @@ def make_upload(mesh):
         # single device: batches are pytrees (dict of arrays), map per leaf
         return (lambda tree: jax.tree.map(jnp.asarray, tree)), \
                (lambda tree: tree)
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = NamedSharding(mesh, P(mesh_axes(mesh)))
     repl_sh = NamedSharding(mesh, P())
 
     def put_batch(x):
@@ -124,7 +124,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     enable_compilation_cache()
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
-    mesh = make_mesh(cfg.num_devices) if n_dev > 1 else None
+    mesh = make_mesh(cfg.num_devices, dcn_size=cfg.dcn_size) \
+        if n_dev > 1 else None
     global_batch = cfg.batch_size * n_dev
     assert cfg.moco_k % global_batch == 0, \
         f"moco_k={cfg.moco_k} must be divisible by global batch {global_batch}"

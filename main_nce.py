@@ -53,7 +53,11 @@ def parse_args():
     parser.add_argument('--compute_dtype', default='bfloat16', type=str)
     parser.add_argument('--bn_shuffle', default='gather', type=str,
                         choices=['gather', 'alltoall', 'none'])
+    parser.add_argument('--aug_backend', default='auto', type=str,
+                        choices=['auto', 'pallas', 'xla'])
     parser.add_argument('--num_devices', default=0, type=int)
+    parser.add_argument('--dcn_size', default=1, type=int,
+                        help='multi-slice data parallelism: slices over DCN')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--cos', action='store_true')
     return parser.parse_args()
@@ -71,7 +75,9 @@ def cfg_from_args(args) -> PretrainConfig:
         resume=args.resume, pretrain=args.pretrain, test=args.test,
         moco_dim=args.moco_dim, moco_k=args.moco_k, moco_m=args.moco_m,
         moco_t=args.moco_t, compute_dtype=args.compute_dtype,
-        bn_shuffle=args.bn_shuffle, num_devices=args.num_devices,
+        bn_shuffle=args.bn_shuffle, aug_backend=args.aug_backend,
+        num_devices=args.num_devices,
+        dcn_size=args.dcn_size,
         data_root=args.data_root, cos=args.cos)
 
 

@@ -134,3 +134,56 @@ def test_two_stream_shared_params():
             sel = arr[diff_frames]  # [n_diff_frames, H, W, C]
             np.testing.assert_allclose(sel[..., 0], sel[..., 1], atol=1e-4)
             np.testing.assert_allclose(sel[..., 0], sel[..., 2], atol=1e-4)
+
+
+def test_pallas_backend_matches_xla():
+    """The fused pallas kernel (interpret mode on CPU) must agree with the
+    jnp chain: same rng -> same parameters; numerics may differ only by
+    reduction-order ULPs, which can flip HSV branch ties on clipped pixels
+    (sub-percent of pixels)."""
+    import jax
+    import jax.numpy as jnp
+    from coclr_tpu.ops.augment import augment_clips
+
+    rng = np.random.RandomState(3)
+    seq = jnp.asarray(rng.randint(0, 256, (3, 2, 4, 128, 128, 3), np.uint8))
+    base = jnp.asarray([[1, 1], [1, 0], [0, 1]], np.uint8)
+    key = jax.random.PRNGKey(11)
+    # hue disabled -> the whole chain is branch-free and must match to
+    # float tolerance everywhere
+    strict = dict(dtype=jnp.float32, normalize_out=True,
+                  strength=(0.4, 0.4, 0.4, 0.0))
+    a = np.asarray(augment_clips(seq, base, key, backend="xla", **strict))
+    b = np.asarray(augment_clips(seq, base, key, backend="pallas", **strict))
+    assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
+
+    # full strength: contrast/saturation clipping creates exact-tie channel
+    # maxima whose HSV branch flips on reduction-order ULPs (~1% of pixels),
+    # and the 13-tap blur smears each flipped pixel over its neighborhood —
+    # so compare statistically
+    a = np.asarray(augment_clips(seq, base, key, dtype=jnp.float32,
+                                 backend="xla", normalize_out=True))
+    b = np.asarray(augment_clips(seq, base, key, dtype=jnp.float32,
+                                 backend="pallas", normalize_out=True))
+    d = np.abs(a - b)
+    assert np.median(d) < 1e-4, np.median(d)
+    assert d.mean() < 3e-3, d.mean()
+    assert d.max() < 3.0, d.max()
+
+
+def test_pallas_backend_null_path_exact():
+    """Null clips (aug_base=0) take flip-only: both backends must agree to
+    float tolerance everywhere (no branchy hue, no clipping)."""
+    import jax
+    import jax.numpy as jnp
+    from coclr_tpu.ops.augment import augment_clips
+
+    rng = np.random.RandomState(4)
+    seq = jnp.asarray(rng.randint(0, 256, (2, 2, 4, 64, 64, 3), np.uint8))
+    base = jnp.zeros((2, 2), jnp.uint8)
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(augment_clips(seq, base, key, dtype=jnp.float32,
+                                 backend="xla", normalize_out=True))
+    b = np.asarray(augment_clips(seq, base, key, dtype=jnp.float32,
+                                 backend="pallas", normalize_out=True))
+    assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
