@@ -78,12 +78,14 @@ def main():
     while batch_size >= 4:
         try:
             cfg, step_fn, state, opt_state, batch = build(batch_size)
-            # warmup / compile
+            # warmup / compile; end with a VALUE fetch — on tunneled
+            # backends block_until_ready returns before the stream drains,
+            # which would push compile/queue time into the timed region
             for i in range(3):
                 state, opt_state, metrics = step_fn(
                     state, opt_state, batch, jax.random.PRNGKey(i),
                     jnp.float32(1e-3))
-            jax.block_until_ready(metrics["loss"])
+            assert np.isfinite(float(metrics["loss"]))
             break
         except Exception as e:  # OOM fallback
             if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):

@@ -27,6 +27,15 @@ from flax import linen as nn
 conv_init = nn.initializers.normal(stddev=0.01)
 
 
+def _pool_1d_fwd(x, axis: int, k: int, s: int, pad):
+    win = [1] * x.ndim
+    st = [1] * x.ndim
+    pd = [(0, 0)] * x.ndim
+    win[axis], st[axis], pd[axis] = k, s, tuple(pad)
+    return nn.max_pool(x, window_shape=tuple(win[1:-1]),
+                       strides=tuple(st[1:-1]), padding=pd[1:-1])
+
+
 def max_pool_3d(x, window, strides, padding):
     """3D max pool over [B, T, H, W, C]; `padding` is per-dim (lo, hi) pairs.
 
@@ -35,21 +44,20 @@ def max_pool_3d(x, window, strides, padding):
     Implemented as up to three separable 1-D max pools (max over a product
     window == iterated per-axis max). Forward values are bitwise-identical
     to a single 3-D reduce_window; the backward becomes three 1-D
-    select_and_scatter ops (3+3+3 window points) instead of one 3-D one
-    (27 points), which profiling showed at ~21% of the S3D train-step
-    device time. Divergence (documented): on exact ties within a window
-    the gradient routing can differ from cuDNN's first-argmax rule —
-    measure-zero for continuous activations.
+    select_and_scatter ops (3+3+3 window points, ~10ms/step) instead of one
+    3-D one (27 points, ~20ms/step). A hand-written shifted-compare VJP was
+    tried and REVERTED: its per-tap jax.lax.pads materialized full copies
+    (31ms of pad + 21ms of selects) — on this HBM-bound step the 1-D
+    select_and_scatter is already near its data-movement floor. Tie
+    divergence vs cuDNN's 3-D first-argmax rule: the separable argmax picks
+    first-per-axis instead of first-in-window-scan-order — measure-zero for
+    continuous activations and irrelevant for the ubiquitous all-zero
+    post-ReLU ties (any routing sends gradient to a zero).
     """
     for axis, (k, s, p) in enumerate(zip(window, strides, padding), start=1):
         if k == 1 and s == 1 and tuple(p) == (0, 0):
             continue
-        win = [1] * x.ndim
-        st = [1] * x.ndim
-        pad = [(0, 0)] * x.ndim
-        win[axis], st[axis], pad[axis] = k, s, tuple(p)
-        x = nn.max_pool(x, window_shape=tuple(win[1:-1]),
-                        strides=tuple(st[1:-1]), padding=pad[1:-1])
+        x = _pool_1d_fwd(x, axis, k, s, tuple(p))
     return x
 
 
@@ -255,6 +263,10 @@ class S3D(nn.Module):
     gating: bool = False
     slow: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # exact space-to-depth stem: measured a small net LOSS at batch 32
+    # (one-hot s2d conv costs ~3.3ms vs ~0.9ms saved on the C_in=3 convs),
+    # kept available for larger-batch / multi-chip configs
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -263,7 +275,7 @@ class S3D(nn.Module):
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
-        x = STConv3d(64, 7, (t_stride, 2), 3, d, s2d_spatial=True,
+        x = STConv3d(64, 7, (t_stride, 2), 3, d, s2d_spatial=self.s2d_stem,
                      name="Conv_1a")(x, train)
 
         # block2 (s3dg.py:151-158)

@@ -110,3 +110,56 @@ def test_backbone_roundtrip(torch_ref):
     for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
                     jax.tree_util.tree_leaves(back["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_max_pool_custom_backward_matches_reduce_window():
+    """The hand-written first-argmax pool backward (s3d._mp1d_bwd) must match
+    reduce_window's select_and_scatter VJP bitwise — including on tie-heavy
+    post-ReLU-style inputs (zeros everywhere)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from coclr_tpu.backbones.s3d import max_pool_3d
+
+    rng = np.random.RandomState(0)
+    cases = [((3, 3, 3), (1, 1, 1), [(1, 1)] * 3),
+             ((1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)]),
+             ((3, 3, 3), (2, 2, 2), [(1, 1)] * 3),
+             ((2, 2, 2), (2, 2, 2), [(0, 0)] * 3)]
+    def sep_pool(y, win, st, pad):
+        # the separable reduce_window chain: the tie-routing oracle for the
+        # custom backward (3-D SaS routes ties in 3-D scan order instead —
+        # the documented divergence)
+        for axis, (k, s, p) in enumerate(zip(win, st, pad), start=1):
+            if (k, s, tuple(p)) == (1, 1, (0, 0)):
+                continue
+            w_ = [1, 1, 1]
+            s_ = [1, 1, 1]
+            p_ = [(0, 0)] * 3
+            w_[axis - 1], s_[axis - 1], p_[axis - 1] = k, s, tuple(p)
+            y = nn.max_pool(y, window_shape=tuple(w_), strides=tuple(s_),
+                            padding=p_)
+        return y
+
+    x = jnp.asarray(rng.randn(2, 8, 13, 17, 5).astype(np.float32))
+    xz = jnp.maximum(jnp.asarray(rng.randn(2, 8, 13, 17, 5)
+                                 .astype(np.float32)), 0.0)
+    xz = jnp.where(xz < 0.8, 0.0, xz)  # exact-zero ties everywhere
+    for win, st, pad in cases:
+        fp = [tuple(p) for p in pad]
+        for inp, oracle in ((x, "full3d"), (xz, "separable")):
+            ref = nn.max_pool(inp, window_shape=win, strides=st, padding=fp)
+            got = max_pool_3d(inp, win, st, pad)
+            assert np.array_equal(np.asarray(ref), np.asarray(got))
+            g1 = jax.grad(lambda y: jnp.sum(
+                jnp.sin(max_pool_3d(y, win, st, pad))))(inp)
+            if oracle == "full3d":  # continuous input: ties measure-zero
+                g2 = jax.grad(lambda y: jnp.sum(jnp.sin(
+                    nn.max_pool(y, window_shape=win, strides=st,
+                                padding=fp))))(inp)
+            else:  # tie-heavy input: compare against the separable chain
+                g2 = jax.grad(lambda y: jnp.sum(jnp.sin(
+                    sep_pool(y, win, st, pad))))(inp)
+            # atol: multi-window contributions sum in a different order
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       atol=5e-5)
