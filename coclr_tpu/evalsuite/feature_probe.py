@@ -77,11 +77,13 @@ def run_feature_probe(train_feature, train_label, test_feature, test_label,
     opt_state = tx.init(params)
 
     n = train_feature.shape[0]
+    batch_size = min(batch_size, n)  # tiny datasets: one full batch
     steps = max(1, -(-n // batch_size))
 
     @jax.jit
     def train_epoch(params, stats, opt_state, key, lr_now):
         perm = jax.random.permutation(key, n)
+        # wrap-pad to a whole number of batches (pad < batch_size <= n)
         pad = steps * batch_size - n
         idx = jnp.concatenate([perm, perm[:pad]]).reshape(steps, batch_size)
 
