@@ -58,6 +58,8 @@ def run_feature_probe(train_feature, train_label, test_feature, test_label,
                       final_bn: bool = False, eval_freq: int = 5,
                       seed: int = 0, prob_json_path: str = ""):
     """Returns (best_acc, best_epoch). Mirrors feature_linear_probe.py:80-149."""
+    if np.shape(train_feature)[0] == 0:
+        raise ValueError("run_feature_probe: empty train feature set")
     train_feature = jnp.asarray(train_feature, jnp.float32)
     test_feature = jnp.asarray(test_feature, jnp.float32)
     train_label = jnp.asarray(train_label, jnp.int32)

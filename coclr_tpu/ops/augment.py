@@ -222,6 +222,12 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
     sigma = jax.random.uniform(k_sigma, (m,), minval=0.1, maxval=2.0)
     do_flip = jax.random.uniform(k_flip, (m,)) < 0.5
 
+    if backend == "pallas" and order_mode != "fixed":
+        import warnings
+
+        warnings.warn("aug backend 'pallas' supports only the fixed jitter "
+                      "order; falling back to the XLA path for "
+                      f"order_mode={order_mode!r}")
     if backend == "pallas" and order_mode == "fixed":
         from coclr_tpu.ops.pallas_aug import fused_jitter_normalize
 

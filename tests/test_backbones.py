@@ -113,9 +113,11 @@ def test_backbone_roundtrip(torch_ref):
 
 
 def test_max_pool_custom_backward_matches_reduce_window():
-    """The hand-written first-argmax pool backward (s3d._mp1d_bwd) must match
-    reduce_window's select_and_scatter VJP bitwise — including on tie-heavy
-    post-ReLU-style inputs (zeros everywhere)."""
+    """max_pool_3d's separable 1-D decomposition must match the 3-D
+    reduce_window forward bitwise and its VJP on continuous inputs; on
+    tie-heavy post-ReLU-style inputs (zeros everywhere) the oracle is the
+    separable reduce_window chain (3-D SaS routes ties in scan order — the
+    documented divergence)."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
