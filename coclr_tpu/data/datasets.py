@@ -66,9 +66,19 @@ def _clip_dims(frames) -> tuple:
 
 
 def _decode_crop(frames, indices, rect, out_size: int) -> np.ndarray:
-    """Fused decode+crop+resize: C++ thread pool or python/cv2 fallback.
-    Returns uint8 [len(indices), out, out, 3]."""
+    """Fused decode+crop+resize. Returns uint8 [len(indices), out, out, 3].
+
+    Preferred path: native zero-copy frame bytes (no msgpack python parse,
+    no copies out of the LMDB mmap) + cv2 decode/resize — cv2 bundles a
+    newer SIMD libjpeg-turbo than the system library the C++ plane links,
+    measured ~15% faster per frame than the all-C++ path
+    (COCLR_CPP_DECODE=1 forces the all-C++ decode instead).
+    """
     if hasattr(frames, "decode_crop"):
+        if not os.environ.get("COCLR_CPP_DECODE"):
+            return np.stack([
+                hostaug.crop_resize(hostaug.decode_jpeg(frames.raw(int(i))),
+                                    rect, out_size) for i in indices])
         return frames.decode_crop(list(int(i) for i in indices), rect,
                                   out_size)
     decoded = [hostaug.decode_jpeg(frames[i]) for i in indices]

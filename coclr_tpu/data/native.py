@@ -37,6 +37,11 @@ def _build() -> Optional[str]:
         return None
 
 
+_mv_from_memory = ctypes.pythonapi.PyMemoryView_FromMemory
+_mv_from_memory.restype = ctypes.py_object
+_mv_from_memory.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_int]
+
+
 def get_lib():
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -161,6 +166,15 @@ class NativeFrameList:
         if not ok:
             raise ValueError("bad jpeg")
         return w.value, h.value
+
+    def raw(self, i: int) -> np.ndarray:
+        """Zero-copy uint8 view of frame i's JPEG bytes (inside the mmap)."""
+        # PyMemoryView_FromMemory: one C call; building a ctypes array TYPE
+        # per frame (c_uint8 * n) costs more than the JPEG parse it feeds
+        mv = _mv_from_memory(
+            ctypes.c_void_p(self._ptrs[i]),
+            ctypes.c_ssize_t(self._lens[i]), ctypes.c_int(0x100))  # PyBUF_READ
+        return np.frombuffer(mv, np.uint8)
 
     def decode_crop(self, indices: Sequence[int], rect, out_size: int,
                     threads: int = 8) -> np.ndarray:
