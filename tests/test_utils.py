@@ -1,0 +1,73 @@
+"""Infra utils: meters, LR schedules, logging (utils/utils.py semantics)."""
+
+import os
+
+import numpy as np
+
+from coclr_tpu.utils.meters import AverageMeter, ProgressMeter
+from coclr_tpu.train.lr import get_lr, step_schedule
+from coclr_tpu.config import PretrainConfig
+
+
+def test_average_meter_local_avg():
+    """avg + 5-step sliding local_avg (utils/utils.py:136-166)."""
+    m = AverageMeter("Loss")
+    for v in (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0):
+        m.update(v)
+    assert np.isclose(m.avg, 4.0)
+    assert np.isclose(m.local_avg, np.mean([3, 4, 5, 6, 7]))
+    m.reset()
+    assert m.count == 0 and m.avg == 0
+
+
+def test_average_meter_weighted():
+    m = AverageMeter("acc")
+    m.update(1.0, n=3)
+    m.update(0.0, n=1)
+    assert np.isclose(m.avg, 0.75)
+
+
+def test_progress_meter_format(capsys):
+    m = AverageMeter("Loss")
+    m.update(1.2345)
+    pm = ProgressMeter(100, [m], prefix="Epoch:[0]")
+    pm.display(7)
+    out = capsys.readouterr().out
+    assert "Epoch:[0]" in out and "  7/100" in out.replace("[", " ").replace(
+        "]", " ") or "7" in out
+    assert "1.2345" in out
+
+
+def test_stateless_lr_schedule():
+    """Pretrain decay is stateless-cumulative (main_nce.py:356-363): lr at
+    epoch e = base * 0.1^(#milestones passed)."""
+    cfg = PretrainConfig(lr=1.0, schedule=(10, 20))
+    assert get_lr(cfg, 0) == 1.0
+    assert np.isclose(get_lr(cfg, 10), 0.1)
+    assert np.isclose(get_lr(cfg, 25), 0.01)
+
+
+def test_step_schedule_function():
+    assert step_schedule(1.0, 5, (10, 20)) == 1.0
+    assert np.isclose(step_schedule(1.0, 15, (10, 20)), 0.1)
+    assert np.isclose(step_schedule(1.0, 20, (10, 20)), 0.01)
+
+
+def test_cosine_schedule():
+    """--cos is dead upstream (main_coclr.py:92-93, lr_scheduler=None) but
+    implemented here as a documented improvement."""
+    cfg = PretrainConfig(lr=1.0, cos=True, epochs=100)
+    lrs = [get_lr(cfg, e) for e in (0, 50, 99)]
+    assert lrs[0] > lrs[1] > lrs[2] >= 0.0
+    assert np.isclose(lrs[0], 1.0, atol=1e-3)
+
+
+def test_logger_writes(tmp_path):
+    from coclr_tpu.utils.logging import Logger
+
+    lg = Logger(str(tmp_path))
+    lg.log("hello world")
+    files = os.listdir(tmp_path)
+    assert any("log" in f for f in files)
+    content = open(os.path.join(tmp_path, files[0])).read()
+    assert "hello world" in content
