@@ -54,10 +54,17 @@ def max_pool_3d(x, window, strides, padding):
     continuous activations and irrelevant for the ubiquitous all-zero
     post-ReLU ties (any routing sends gradient to a zero).
     """
+    from coclr_tpu.ops import pallas_pool
+
+    use_pallas = pallas_pool.pool_backward_mode() == "pallas"
     for axis, (k, s, p) in enumerate(zip(window, strides, padding), start=1):
         if k == 1 and s == 1 and tuple(p) == (0, 0):
             continue
-        x = _pool_1d_fwd(x, axis, k, s, tuple(p))
+        if use_pallas:
+            assert tuple(p)[0] == tuple(p)[1]
+            x = pallas_pool.max_pool_1d(x, axis, k, s, tuple(p)[0])
+        else:
+            x = _pool_1d_fwd(x, axis, k, s, tuple(p))
     return x
 
 
