@@ -1,0 +1,55 @@
+"""CLI smoke: the actual main_nce.py entry point via subprocess (argparse ->
+config -> training), on the CPU mesh with synthetic data. The e2e tests call
+run_pretrain directly; this covers the flag wiring and the default dataset
+path resolution (data_root + process_data metadata)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory):
+    from coclr_tpu.data.synthetic import make_synthetic_ucf
+
+    root = tmp_path_factory.mktemp("cli_root")
+    out = make_synthetic_ucf(str(root / "work"), n_classes=2, n_groups=3,
+                             n_clips=2, n_frames=12, size=(48, 64),
+                             flow=False)
+    (root / "UCF101").mkdir()
+    os.replace(out["db_path"], root / "UCF101" / "ucf101_frame.lmdb")
+    return {"data_root": str(root), "meta": out["root"]}
+
+
+def test_main_nce_cli(staged, tmp_path):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=REPO)
+    # metadata root default resolves to <repo>/process_data/data/ucf101 —
+    # point it at the synthetic meta dir like a user would
+    link = os.path.join(REPO, "process_data", "data", "ucf101")
+    os.makedirs(os.path.dirname(link), exist_ok=True)
+    if os.path.islink(link) or os.path.exists(link):
+        os.remove(link)
+    os.symlink(staged["meta"], link)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main_nce.py"),
+             "--dataset", "ucf101-2clip", "--net", "tiny", "--model",
+             "infonce", "--seq_len", "4", "--img_dim", "32", "--batch_size",
+             "1", "--moco-k", "16", "--moco-dim", "16", "--epochs", "1",
+             "--print_freq", "1", "-j", "2", "--compute_dtype", "float32",
+             "--data_root", staged["data_root"], "--prefix", "clitest"],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=900)
+    finally:
+        os.remove(link)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Training from ep 0 to ep 1 finished" in res.stdout, \
+        res.stdout[-2000:]
+    assert "creating infonce model" in res.stdout
