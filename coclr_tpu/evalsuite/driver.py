@@ -217,6 +217,10 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
                 pad = n_dev - bsz % n_dev
                 batch = {k: np.concatenate([v] + [v[-1:]] * pad)
                          for k, v in batch.items()}
+                # mask padding rows out of the metric means (eval_step
+                # averages over valid rows only)
+                batch["valid"] = np.concatenate(
+                    [np.ones(bsz, np.float32), np.zeros(pad, np.float32)])
             batch = put_batch(_squeeze(batch))
             m, _, _ = eval_step(state, batch)
             vmeters["Loss"].update(float(m["loss"]), bsz)

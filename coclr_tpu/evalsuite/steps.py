@@ -119,21 +119,38 @@ def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
 
 
 def _eval_step(state: ClassifierState, batch, *, model, cfg, axis_name):
+    """Metrics are exact means over VALID rows: an optional batch['valid']
+    mask ([B] {0,1}) excludes duplicated padding rows (the driver pads the
+    final partial val batch to a device multiple), so val numbers are
+    invariant to the batch-size remainder."""
     x = preprocess_eval(batch["seq"], cfg.dtype)
     logits, feat = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         x, train=False)
     label = batch["label"]
+    valid = batch.get("valid")
+    if valid is None:
+        valid = jnp.ones((logits.shape[0],), jnp.float32)
+    else:
+        valid = valid.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=1)
-    loss = jnp.mean(logz - jnp.take_along_axis(
-        logits, label[:, None], axis=1)[:, 0])
+    per_loss = logz - jnp.take_along_axis(logits, label[:, None], axis=1)[:, 0]
 
-    from coclr_tpu.models.moco import topk_accuracy
+    maxk = 5
+    _, pred = jax.lax.top_k(logits, maxk)
+    correct = pred == label[:, None]
+    per_top1 = jnp.any(correct[:, :1], axis=1).astype(jnp.float32)
+    per_top5 = jnp.any(correct[:, :5], axis=1).astype(jnp.float32)
 
-    top1, top5 = topk_accuracy(logits, label)
-    metrics = {"loss": loss, "top1": top1, "top5": top5}
+    sums = {"loss": jnp.sum(per_loss * valid),
+            "top1": jnp.sum(per_top1 * valid),
+            "top5": jnp.sum(per_top5 * valid),
+            "count": jnp.sum(valid)}
     if axis_name is not None:
-        metrics = jax.lax.pmean(metrics, axis_name)
+        sums = jax.lax.psum(sums, axis_name)
+    cnt = jnp.maximum(sums["count"], 1.0)
+    metrics = {k: sums[k] / cnt for k in ("loss", "top1", "top5")}
+    metrics["count"] = sums["count"]
     return metrics, logits, feat
 
 

@@ -1,5 +1,6 @@
 """Checkpoint IO: flax-msgpack native format with the reference's rotation
-semantics, plus Orbax directory checkpoints when available.
+semantics (single-file checkpoints, like the reference's torch.save; torch
+.pth.tar interop lives in coclr_tpu/utils/torch_interop.py).
 
 Rotation parity (utils/utils.py:12-26): saving epoch N deletes epoch N-gap
 (unless keep_all) and keeps at most 5 `model_best_*` files.
