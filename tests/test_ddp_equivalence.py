@@ -1,0 +1,196 @@
+"""Full-step DDP-equivalence: the 8-device shard_map pretrain step must
+reproduce a serial simulation of 8 DDP ranks on the same global batch —
+per-rank BN batches, shared-PRNG shuffle, pmean'd grads/metrics, rank-ordered
+enqueue — to float32 tolerance.
+
+This is the reference's distribution contract (DDP wrap main_nce.py:172 +
+model/pretrain.py:83-96): N ranks each with per-GPU BN stats, gradient
+all-reduce mean, all_gather-then-write queue updates. Note the contract is
+NOT "N devices == 1 device": BatchNorm normalizes over the per-device batch
+(exactly like per-GPU BN under DDP), so the single-device step with the full
+global batch is a *different* (BN-wider) computation. The equivalence that
+holds — and is asserted here — is shard_map(N) == serial loop over N shards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from coclr_tpu.config import PretrainConfig
+from coclr_tpu.models import moco
+from coclr_tpu.models.encoder import ProjectionEncoder
+from coclr_tpu.parallel import make_mesh, make_pretrain_step
+from coclr_tpu.parallel.train_step import make_optimizer
+
+DIM = 16
+K = 64
+T, H, W = 4, 16, 16
+
+
+def tiny_cfg(**kw):
+    base = dict(net="tiny", moco_dim=DIM, moco_k=K, compute_dtype="float32",
+                seq_len=T, img_dim=H, batch_size=2)
+    base.update(kw)
+    return PretrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    return ProjectionEncoder(network="tiny", dim=DIM, dtype=jnp.float32)
+
+
+def init_state(encoder, variant):
+    return moco.init_moco_state(
+        jax.random.PRNGKey(0), encoder, variant,
+        jnp.zeros((1, T, H, W, 3), jnp.float32), dim=DIM, K=K)
+
+
+def make_batch(seed, b, variant):
+    r = np.random.RandomState(seed)
+    seq = r.rand(b, 2, T, H, W, 3).astype(np.float32)
+    batch = {"label": r.randint(0, 5, size=(b,)).astype(np.int32)}
+    if variant == "coclr":
+        batch["seq_rgb"] = seq
+        batch["seq_flow"] = r.rand(b, 2, T, H, W, 3).astype(np.float32)
+        batch["vname"] = r.randint(0, 7, size=(b,)).astype(np.int32)
+    else:
+        batch["seq"] = seq
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def simulate_ddp_step(encoder, cfg, state, opt_state, batch, rng, lr, n):
+    """Serial re-implementation of n DDP ranks executing one step
+    (mirrors parallel/train_step.py:_pretrain_step exactly)."""
+    tx = make_optimizer(cfg)
+    rng = jax.random.fold_in(rng, 0)
+    _, rng_shuffle, rng_self = jax.random.split(rng, 3)
+    variant = cfg.model
+
+    if variant == "coclr":
+        primary = batch["seq_flow"] if cfg.reverse else batch["seq_rgb"]
+        other = batch["seq_rgb"] if cfg.reverse else batch["seq_flow"]
+        x1, x2, f2 = primary[:, 0], primary[:, 1], other[:, 1]
+    else:
+        x1, x2, f2 = batch["seq"][:, 0], batch["seq"][:, 1], None
+    B = x1.shape[0]
+    b = B // n
+
+    params_k = moco.momentum_update(state.params_q, state.params_k, cfg.moco_m)
+
+    # key path: shared-PRNG global permutation, per-rank BN batches, unshuffle
+    if cfg.bn_shuffle == "gather":
+        perm = jax.random.permutation(rng_shuffle, B)
+        xs = x2[perm]
+    else:
+        xs = x2
+    ks = []
+    for i in range(n):
+        ki, _ = encoder.apply(
+            {"params": params_k, "batch_stats": state.stats_k},
+            xs[i * b:(i + 1) * b], train=True, mutable=["batch_stats"])
+        ks.append(moco.l2_normalize(ki.astype(jnp.float32)))
+    k = jnp.concatenate(ks)
+    if cfg.bn_shuffle == "gather":
+        k = k[jnp.argsort(perm)]
+    k = jax.lax.stop_gradient(k)
+
+    if variant == "coclr":
+        kfs = []
+        for i in range(n):
+            kf_i = encoder.apply(
+                {"params": state.params_s, "batch_stats": state.stats_s},
+                f2[i * b:(i + 1) * b], train=False)
+            kfs.append(moco.l2_normalize(kf_i.astype(jnp.float32)))
+        kf = jax.lax.stop_gradient(jnp.concatenate(kfs))
+        mask = moco.coclr_mask(kf, batch["vname"], state.queue_second,
+                               state.queue_vname, state.queue_label, cfg.topk)
+
+    def shard_loss(params_q, x1s, ks_, mask_s):
+        q, _ = encoder.apply(
+            {"params": params_q, "batch_stats": state.stats_q},
+            x1s, train=True, mutable=["batch_stats"])
+        q = moco.l2_normalize(q.astype(jnp.float32))
+        logits = moco.moco_logits(q, ks_, state.queue, cfg.moco_t)
+        if variant == "infonce":
+            return moco.infonce_loss(logits)
+        return moco.ubernce_loss(logits, mask_s)
+
+    losses, grads = [], None
+    for i in range(n):
+        sl = slice(i * b, (i + 1) * b)
+        if variant == "infonce":
+            def lf(p, sl=sl):
+                return shard_loss(p, x1[sl], k[sl], None)
+        elif variant == "ubernce":
+            mask_i = moco.ubernce_mask(batch["label"][sl], state.queue_label)
+
+            def lf(p, mask_i=mask_i, sl=sl):
+                return shard_loss(p, x1[sl], k[sl], mask_i)
+        else:
+            drop = jax.random.uniform(jax.random.fold_in(rng_self, i)) < 0.9
+            mask_i = mask[sl]
+
+            def lf(p, mask_i=mask_i, drop=drop, sl=sl):
+                q, _ = encoder.apply(
+                    {"params": p, "batch_stats": state.stats_q},
+                    x1[sl], train=True, mutable=["batch_stats"])
+                q = moco.l2_normalize(q.astype(jnp.float32))
+                logits = moco.moco_logits(q, k[sl], state.queue, cfg.moco_t)
+                mask_sum = jnp.sum(mask_i, axis=1)
+                col0 = jnp.where(drop & (mask_sum != 1), 0.0, mask_i[:, 0])
+                return moco.multi_nce_loss(logits, mask_i.at[:, 0].set(col0))
+        li, gi = jax.value_and_grad(lf)(state.params_q)
+        losses.append(li)
+        grads = gi if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, gi)
+    grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+    loss = jnp.mean(jnp.stack(losses))
+
+    updates, _ = tx.update(grads, opt_state, state.params_q)
+    new_params = optax.apply_updates(
+        state.params_q, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+    new_queue = jax.lax.dynamic_update_slice(state.queue, k,
+                                             (state.queue_ptr, 0))
+    new_ptr = (int(state.queue_ptr) + B) % state.queue.shape[0]
+    return loss, new_params, new_queue, new_ptr
+
+
+def _tree_close(a, b, atol):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=0)
+
+
+@pytest.mark.parametrize("variant,bn_shuffle", [
+    ("infonce", "none"), ("infonce", "gather"), ("coclr", "none")])
+def test_shard_map_step_equals_serial_ddp(encoder, variant, bn_shuffle):
+    n = jax.device_count()
+    assert n == 8
+    cfg = tiny_cfg(model=variant, bn_shuffle=bn_shuffle)
+    state = init_state(encoder, variant)
+    if variant == "coclr":
+        # open the optimizer gate so the parameter update path is compared
+        state = state.replace(queue_label=jnp.ones((K,), jnp.int32),
+                              queue_vname=jnp.asarray(
+                                  np.random.RandomState(3).randint(
+                                      0, 7, K).astype(np.int32)))
+    step, tx = make_pretrain_step(encoder, cfg, mesh=make_mesh(),
+                                  donate=False)
+    opt_state = tx.init(state.params_q)
+    batch = make_batch(0, 2 * n, variant)
+    rng, lr = jax.random.PRNGKey(7), jnp.float32(1e-3)
+
+    state2, _, metrics = step(state, opt_state, batch, rng, lr)
+
+    loss_ref, params_ref, queue_ref, ptr_ref = simulate_ddp_step(
+        encoder, cfg, state, opt_state, batch, rng, lr, n)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
+                               atol=1e-5, rtol=0)
+    # Adam's 1/sqrt(v) amplifies f32 all-reduce ordering noise slightly
+    _tree_close(state2.params_q, params_ref, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(state2.queue),
+                               np.asarray(queue_ref), atol=1e-5, rtol=0)
+    assert int(state2.queue_ptr) == ptr_ref
