@@ -52,7 +52,8 @@ class PretrainConfig:
     # TPU-native knobs
     compute_dtype: str = "bfloat16"
     bn_shuffle: str = "gather"          # gather | alltoall | none
-    aug_order: str = "fixed"            # fixed | shuffle (jitter op order)
+    aug_order: str = "shuffle"          # shuffle (per-clip random, reference
+                                        # semantics) | fixed (b->c->s->h)
     aug_backend: str = "auto"           # auto | pallas | xla
     num_devices: int = 0                # 0 = all local devices
     dcn_size: int = 1                   # >1: multi-slice DP over a dcn axis

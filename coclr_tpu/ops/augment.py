@@ -162,8 +162,30 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
     return x
 
 
+def pack_orders(perms):
+    """[m, 4] per-clip op permutations -> [m] int32 codes (2 bits per
+    position, position 0 in the low bits). [0,1,2,3] packs to 228."""
+    return (perms[:, 0] | (perms[:, 1] << 2) | (perms[:, 2] << 4)
+            | (perms[:, 3] << 6)).astype(jnp.int32)
+
+
+FIXED_ORDER_CODE = 228  # pack_orders([[0, 1, 2, 3]]) — b->c->s->h
+
+
+def draw_orders(k_order, m, order_mode: str):
+    """Per-clip-unit jitter op order ([m] packed codes). 'shuffle' draws a
+    random permutation per clip like the reference's get_params
+    (augmentation.py:272-293 random.shuffle once per clip unit under
+    consistent=False/seq_len); 'fixed' is the b->c->s->h chain."""
+    if order_mode == "shuffle":
+        perms = jax.vmap(lambda kk: jax.random.permutation(kk, 4))(
+            jax.random.split(k_order, m))
+        return pack_orders(perms)
+    return jnp.full((m,), FIXED_ORDER_CODE, jnp.int32)
+
+
 def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
-                  dtype=jnp.float32, order_mode: str = "fixed",
+                  dtype=jnp.float32, order_mode: str = "shuffle",
                   backend: str = "xla", normalize_out: bool = False):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
     Returns `dtype` in [0,1] ([0,1]-normalized when `normalize_out`), same
@@ -184,11 +206,14 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
     3/128 of the MXU.
 
     Jitter factors/decisions are per clip unit (the reference's
-    consistent=False seq_len semantics); gray channel per frame. Op order:
-      'fixed'   — b->c->s->h in one fusable elementwise chain (the reference
-                  shuffles per clip; order effects are second-order in the
-                  jitter strengths)
-      'shuffle' — one random order per step via lax.scan+switch."""
+    consistent=False seq_len semantics); gray channel per frame. Op order
+    (augmentation.py:272-293 shuffles the 4 ops once per clip unit):
+      'shuffle' — random per-clip order, the reference semantics (default).
+                  Pallas: a per-frame lax.switch positional loop (only the
+                  selected op executes). XLA: 4 positional select stages
+                  (computes all 4 candidates per stage; fused, VPU-bound).
+      'fixed'   — b->c->s->h always; cheapest XLA chain, a documented
+                  divergence retained as an opt-in."""
     b, n, L, S1, S2, C = seq_u8.shape
     m = b * n
     base = aug_base.reshape(m).astype(jnp.bool_)
@@ -222,19 +247,16 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
     sigma = jax.random.uniform(k_sigma, (m,), minval=0.1, maxval=2.0)
     do_flip = jax.random.uniform(k_flip, (m,)) < 0.5
 
-    if backend == "pallas" and order_mode != "fixed":
-        import warnings
+    # per-clip jitter op order, at frame granularity (same draw either backend)
+    orders = jnp.repeat(draw_orders(k_order, m, order_mode), L)  # [m*L]
 
-        warnings.warn("aug backend 'pallas' supports only the fixed jitter "
-                      "order; falling back to the XLA path for "
-                      f"order_mode={order_mode!r}")
-    if backend == "pallas" and order_mode == "fixed":
+    if backend == "pallas":
         from coclr_tpu.ops.pallas_aug import fused_jitter_normalize
 
         gray_sel = jnp.where(do_gray, ch, -1)
         xp = jnp.transpose(seq_u8.reshape(m * L, S1, S2, C), (0, 3, 1, 2))
         x = fused_jitter_normalize(
-            xp, fb, fc, fs, fh, gray_sel, out_dtype=dtype,
+            xp, fb, fc, fs, fh, gray_sel, orders, out_dtype=dtype,
             mean=IMAGENET_MEAN if normalize_out else (0.0, 0.0, 0.0),
             std=IMAGENET_STD if normalize_out else (1.0, 1.0, 1.0))
         # blur + flip in planar layout, then one transpose back
@@ -261,9 +283,15 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
         lambda a: adjust_hue(a, fh_).astype(dtype),
     ]
     if order_mode == "shuffle":
-        order = jax.random.permutation(k_order, 4)
-        x, _ = jax.lax.scan(
-            lambda img, op: (jax.lax.switch(op, ops, img), None), x, order)
+        # per-frame op codes: 4 positional stages, each selecting among the
+        # 4 candidate ops (all elementwise + per-frame reductions; XLA fuses
+        # each stage into one pass)
+        for pos in range(4):
+            code = ((orders >> (2 * pos)) & 3)[:, None, None, None]
+            cands = [op(x) for op in ops]
+            x = jnp.where(code == 0, cands[0],
+                          jnp.where(code == 1, cands[1],
+                                    jnp.where(code == 2, cands[2], cands[3])))
     else:
         for op in ops:
             x = op(x)
@@ -310,13 +338,13 @@ def make_pretrain_preprocess(cfg):
     params shared per clip unit by concatenating along the frame axis, the
     reference's doubled-seq_len trick: main_coclr.py:448)."""
     dtype = cfg.dtype
-    order_mode = getattr(cfg, "aug_order", "fixed")
+    order_mode = getattr(cfg, "aug_order", "shuffle")
     backend = getattr(cfg, "aug_backend", "auto")
     if backend == "auto":
         import jax as _jax
 
         backend = ("pallas" if _jax.default_backend() in ("tpu", "axon")
-                   and order_mode == "fixed" else "xla")
+                   else "xla")
 
     def fn(batch, rng):
         out = dict(batch)

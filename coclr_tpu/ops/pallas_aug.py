@@ -74,7 +74,7 @@ def _hue_rotate(r, g, b, fh):
     return clip(r2), clip(g2), clip(b2)
 
 
-def _jitter_kernel(fb_ref, fc_ref, fs_ref, fh_ref, gray_ref,
+def _jitter_kernel(fb_ref, fc_ref, fs_ref, fh_ref, gray_ref, order_ref,
                    x_ref, o_ref, *, out_dtype, mean, std):
     import jax.experimental.pallas as pl  # local import keeps module light
 
@@ -83,7 +83,8 @@ def _jitter_kernel(fb_ref, fc_ref, fs_ref, fh_ref, gray_ref,
     fc = fc_ref[i]
     fs = fs_ref[i]
     fh = fh_ref[i]
-    gray = gray_ref[i]  # -1: keep color; 0/1/2: split that channel
+    gray = gray_ref[i]   # -1: keep color; 0/1/2: split that channel
+    order = order_ref[i]  # packed 2-bit op codes, position 0 in the low bits
 
     inv255 = 1.0 / 255.0
     # Mosaic has no direct u8->f32 cast; hop through int32
@@ -93,28 +94,42 @@ def _jitter_kernel(fb_ref, fc_ref, fs_ref, fh_ref, gray_ref,
     b = u8f(x_ref[0, 2]) * inv255
     clip = lambda a: jnp.clip(a, 0.0, 1.0)
 
-    # brightness (augmentation.py: ColorJitter order fixed b->c->s->h)
-    r, g, b = clip(r * fb), clip(g * fb), clip(b * fb)
+    def op_brightness(rgb):
+        r, g, b = rgb
+        return clip(r * fb), clip(g * fb), clip(b * fb)
 
-    # contrast: per-frame luma mean (PIL ImageEnhance.Contrast)
-    luma = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
-    lmean = jnp.mean(luma)
-    r = clip(r * fc + lmean * (1.0 - fc))
-    g = clip(g * fc + lmean * (1.0 - fc))
-    b = clip(b * fc + lmean * (1.0 - fc))
+    def op_contrast(rgb):
+        # per-frame luma mean of the CURRENT image (PIL ImageEnhance.Contrast)
+        r, g, b = rgb
+        lmean = jnp.mean(_LUMA_R * r + _LUMA_G * g + _LUMA_B * b)
+        return (clip(r * fc + lmean * (1.0 - fc)),
+                clip(g * fc + lmean * (1.0 - fc)),
+                clip(b * fc + lmean * (1.0 - fc)))
 
-    # saturation: blend with current luma
-    luma = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
-    r = clip(r * fs + luma * (1.0 - fs))
-    g = clip(g * fs + luma * (1.0 - fs))
-    b = clip(b * fs + luma * (1.0 - fs))
+    def op_saturation(rgb):
+        r, g, b = rgb
+        luma = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+        return (clip(r * fs + luma * (1.0 - fs)),
+                clip(g * fs + luma * (1.0 - fs)),
+                clip(b * fs + luma * (1.0 - fs)))
 
-    # hue (exact identity when fh == 0 — the null path must be bit-clean)
-    r2, g2, b2 = _hue_rotate(r, g, b, fh)
-    keep = fh == 0.0
-    r = jnp.where(keep, r, r2)
-    g = jnp.where(keep, g, g2)
-    b = jnp.where(keep, b, b2)
+    def op_hue(rgb):
+        # exact identity when fh == 0 — the null path must be bit-clean
+        r, g, b = rgb
+        r2, g2, b2 = _hue_rotate(r, g, b, fh)
+        keep = fh == 0.0
+        return (jnp.where(keep, r, r2), jnp.where(keep, g, g2),
+                jnp.where(keep, b, b2))
+
+    # positional loop over the per-frame random op order (reference:
+    # augmentation.py:272-293 shuffles the 4 ops once per clip unit); only
+    # the selected op executes per position (real branch, not a select)
+    rgb = (r, g, b)
+    for pos in range(4):
+        code = (order >> (2 * pos)) & 3
+        rgb = jax.lax.switch(
+            code, [op_brightness, op_contrast, op_saturation, op_hue], rgb)
+    r, g, b = rgb
 
     # RandomGray channel split (augmentation.py:211-216): channel per frame
     sel = jnp.where(gray == 0, r, jnp.where(gray == 1, g, b))
@@ -128,26 +143,32 @@ def _jitter_kernel(fb_ref, fc_ref, fs_ref, fh_ref, gray_ref,
     o_ref[0, 2] = ((b - mean[2]) / std[2]).astype(out_dtype)
 
 
-def fused_jitter_normalize(x_planar_u8, fb, fc, fs, fh, gray_sel,
+def fused_jitter_normalize(x_planar_u8, fb, fc, fs, fh, gray_sel, orders=None,
                            out_dtype=jnp.bfloat16, interpret=False,
                            mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """x_planar_u8: [F, 3, S, S] uint8. fb/fc/fs/fh: [F] f32 per-frame jitter
     factors (1/1/1/0 = identity). gray_sel: [F] int32, -1 = keep color, else
-    the channel whose value replaces all three. Returns [F, 3, S, S]
-    `out_dtype`, jittered + gray'd + normalized by (mean, std).
+    the channel whose value replaces all three. orders: [F] int32 packed
+    per-frame op orders (see ops.augment.pack_orders; None = fixed b->c->s->h).
+    Returns [F, 3, S, S] `out_dtype`, jittered + gray'd + normalized by
+    (mean, std).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from coclr_tpu.ops.augment import FIXED_ORDER_CODE
+
     f, c, s1, s2 = x_planar_u8.shape
     assert c == 3
+    if orders is None:
+        orders = jnp.full((f,), FIXED_ORDER_CODE, jnp.int32)
     # mosaic compiles only for real TPU backends; interpret elsewhere (tests)
     if jax.default_backend() not in ("tpu", "axon"):
         interpret = True
     kernel = functools.partial(_jitter_kernel, out_dtype=out_dtype,
                                mean=tuple(mean), std=tuple(std))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(f,),
         in_specs=[
             pl.BlockSpec((1, 3, s1, s2), lambda i, *_: (i, 0, 0, 0)),
@@ -160,4 +181,5 @@ def fused_jitter_normalize(x_planar_u8, fb, fc, fs, fh, gray_sel,
         grid_spec=grid_spec,
         interpret=interpret,
     )(fb.astype(jnp.float32), fc.astype(jnp.float32), fs.astype(jnp.float32),
-      fh.astype(jnp.float32), gray_sel.astype(jnp.int32), x_planar_u8)
+      fh.astype(jnp.float32), gray_sel.astype(jnp.int32),
+      orders.astype(jnp.int32), x_planar_u8)

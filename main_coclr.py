@@ -51,6 +51,9 @@ def parse_args():
                         choices=['gather', 'alltoall', 'none'])
     parser.add_argument('--aug_backend', default='auto', type=str,
                         choices=['auto', 'pallas', 'xla'])
+    parser.add_argument('--aug_order', default='shuffle', type=str,
+                        choices=['shuffle', 'fixed'],
+                        help='jitter op order: per-clip random (reference semantics) or fixed b->c->s->h')
     parser.add_argument('--num_devices', default=0, type=int)
     parser.add_argument('--dcn_size', default=1, type=int,
                         help='multi-slice data parallelism: slices over DCN')
@@ -72,6 +75,7 @@ def cfg_from_args(args) -> PretrainConfig:
         moco_t=args.moco_t, topk=args.topk, reverse=args.reverse,
         cos=args.cos, compute_dtype=args.compute_dtype,
         bn_shuffle=args.bn_shuffle, aug_backend=args.aug_backend,
+        aug_order=args.aug_order,
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
         data_root=args.data_root)

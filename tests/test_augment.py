@@ -136,6 +136,66 @@ def test_two_stream_shared_params():
             np.testing.assert_allclose(sel[..., 0], sel[..., 2], atol=1e-4)
 
 
+def test_draw_orders_per_clip():
+    """'shuffle' draws an independent valid permutation per clip unit
+    (the reference shuffles the 4 jitter ops once per clip,
+    augmentation.py:272-293); 'fixed' is the b->c->s->h code."""
+    codes = np.asarray(augment.draw_orders(jax.random.PRNGKey(0), 1000,
+                                           "shuffle"))
+    decoded = np.stack([(codes >> (2 * p)) & 3 for p in range(4)], axis=1)
+    for row in decoded:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
+    # all 24 permutations show up across 1000 draws
+    assert len(np.unique(codes)) == 24
+    fixed = np.asarray(augment.draw_orders(jax.random.PRNGKey(0), 3, "fixed"))
+    np.testing.assert_array_equal(fixed, augment.FIXED_ORDER_CODE)
+    np.testing.assert_array_equal(
+        np.asarray(augment.pack_orders(jnp.asarray([[0, 1, 2, 3]]))),
+        [augment.FIXED_ORDER_CODE])
+
+
+def test_kernel_order_matches_sequential_application():
+    """fused_jitter_normalize with explicit per-frame orders must equal
+    applying adjust_* sequentially in that order (f32, hue last vs first
+    etc. genuinely change the output)."""
+    from coclr_tpu.ops.pallas_aug import fused_jitter_normalize
+
+    rng = np.random.RandomState(9)
+    F, S = 4, 16
+    x = rng.randint(0, 256, (F, S, S, 3), np.uint8)
+    fb = np.float32([1.3, 0.8, 1.0, 1.2])
+    fc = np.float32([0.7, 1.2, 1.0, 0.9])
+    fs = np.float32([1.4, 0.6, 1.0, 1.1])
+    fh = np.float32([0.05, -0.08, 0.0, 0.1])
+    perms = np.asarray([[3, 2, 1, 0], [1, 0, 3, 2], [0, 1, 2, 3],
+                        [2, 3, 0, 1]], np.int32)
+    orders = augment.pack_orders(jnp.asarray(perms))
+
+    xp = jnp.asarray(np.transpose(x, (0, 3, 1, 2)))
+    got = np.asarray(fused_jitter_normalize(
+        xp, jnp.asarray(fb), jnp.asarray(fc), jnp.asarray(fs),
+        jnp.asarray(fh), -jnp.ones((F,), jnp.int32), orders,
+        out_dtype=jnp.float32, mean=(0, 0, 0), std=(1, 1, 1)))
+    got = np.transpose(got, (0, 2, 3, 1))
+
+    ops = [augment.adjust_brightness, augment.adjust_contrast,
+           augment.adjust_saturation, augment.adjust_hue]
+    factors = [fb, fc, fs, fh]
+    for f in range(F):
+        ref = jnp.asarray(x[f:f + 1].astype(np.float32) / 255.0)
+        for op_idx in perms[f]:
+            ref = ops[op_idx](ref, jnp.float32(factors[op_idx][f]))
+        np.testing.assert_allclose(got[f], np.asarray(ref)[0], atol=2e-5,
+                                   err_msg=f"frame {f} order {perms[f]}")
+
+    # order genuinely matters for these factors: frame 0 (reversed order)
+    # must differ from the fixed-order application
+    ref_fixed = jnp.asarray(x[0:1].astype(np.float32) / 255.0)
+    for op_idx in range(4):
+        ref_fixed = ops[op_idx](ref_fixed, jnp.float32(factors[op_idx][0]))
+    assert np.abs(got[0] - np.asarray(ref_fixed)[0]).max() > 1e-3
+
+
 def test_pallas_backend_matches_xla():
     """The fused pallas kernel (interpret mode on CPU) must agree with the
     jnp chain: same rng -> same parameters; numerics may differ only by
