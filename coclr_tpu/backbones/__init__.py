@@ -33,11 +33,18 @@ class TinyBackbone(nn.Module):
 def select_backbone(network: str, first_channel: int = 3,
                     dtype=jnp.bfloat16) -> Tuple[nn.Module, dict]:
     """Return (module, {'feature_size': int}) like the reference registry."""
+    import os
+
+    # COCLR_S2D_STEM=1: exact space-to-depth RGB stem (same canonical
+    # parameter, so checkpoints are unchanged) — see s3d.SpaceToDepthConv
+    s2d = bool(os.environ.get("COCLR_S2D_STEM"))
     param = {"feature_size": 1024}
     if network == "s3d":
-        model = S3D(input_channel=first_channel, gating=False, dtype=dtype)
+        model = S3D(input_channel=first_channel, gating=False, dtype=dtype,
+                    s2d_stem=s2d)
     elif network == "s3dg":
-        model = S3D(input_channel=first_channel, gating=True, dtype=dtype)
+        model = S3D(input_channel=first_channel, gating=True, dtype=dtype,
+                    s2d_stem=s2d)
     elif network == "r50":
         param["feature_size"] = 2048
         model = r2d3d50(input_channel=first_channel, dtype=dtype)

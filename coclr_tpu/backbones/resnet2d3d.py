@@ -18,6 +18,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from coclr_tpu.backbones.norm import (FoldedBatchNorm, bn_relu,
+                                      relu_keyed_on_output)
 from coclr_tpu.backbones.s3d import max_pool_3d
 
 kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -37,11 +39,9 @@ def _conv(out, kernel, stride, padding, dtype, name):
     )
 
 
-def _bn(train, name):
-    return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        dtype=jnp.float32, name=name,
-    )
+def _bn(train, name, dtype):
+    bn = FoldedBatchNorm(dtype=dtype, name=name)
+    return lambda x: bn(x, use_running_average=not train)
 
 
 class Bottleneck(nn.Module):
@@ -71,29 +71,27 @@ class Bottleneck(nn.Module):
             h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, "conv1")(x)
         else:
             h = _conv(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv1")(x)
-        h = _bn(train, "bn1")(h)
-        h = nn.relu(h).astype(d)
+        h = bn_relu(h, train, d, name="bn1")
 
         # conv2 spatial (1,3,3); spatial stride only (resnet_2d3d.py:56,99)
         h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 1, 1), d, "conv2")(h)
-        h = _bn(train, "bn2")(h)
-        h = nn.relu(h).astype(d)
+        h = bn_relu(h, train, d, name="bn2")
 
         h = _conv(out_planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv3")(h)
-        h = _bn(train, "bn3")(h)
+        h = _bn(train, "bn3", d)(h)
 
         if (st, ss) != (1, 1) or in_planes != out_planes:
             # 1x1x1 conv with the customized (t,s,s) stride + BN
             # (resnet_2d3d.py:173-176)
             residual = _conv(out_planes, (1, 1, 1), (st, ss, ss), (0, 0, 0), d,
                              "downsample_conv")(x)
-            residual = _bn(train, "downsample_bn")(residual)
+            residual = _bn(train, "downsample_bn", d)(residual)
         else:
             residual = x
 
         out = h + residual.astype(h.dtype)
         if self.use_final_relu:
-            out = nn.relu(out)
+            out = relu_keyed_on_output(out)
         return out.astype(d)
 
 
@@ -112,8 +110,7 @@ class ResNet2d3d(nn.Module):
         x = x.astype(d)
 
         x = _conv(64, (5, 7, 7), (2, 2, 2), (2, 3, 3), d, "conv1")(x)
-        x = _bn(train, "bn1")(x)
-        x = nn.relu(x).astype(d)
+        x = bn_relu(x, train, d, name="bn1")
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
 
         planes = (64, 128, 256, 512)

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from coclr_tpu.backbones.norm import bn_relu
+
 # Matches the reference init: conv.weight.data.normal_(mean=0, std=0.01).
 conv_init = nn.initializers.normal(stddev=0.01)
 
@@ -90,14 +92,8 @@ class BasicConv3d(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # torch momentum=0.1 convention flipped
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
-        return nn.relu(x).astype(self.dtype)
+        # torch momentum=0.1 convention flipped -> momentum 0.9 (default)
+        return bn_relu(x, train, self.dtype, name="bn")
 
 
 class SpaceToDepthConv(nn.Module):
@@ -194,11 +190,7 @@ class STConv3d(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv1",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
-        )(x)
-        x = nn.relu(x).astype(self.dtype)
+        x = bn_relu(x, train, self.dtype, name="bn1")
         x = nn.Conv(
             self.out_planes,
             kernel_size=(k, 1, 1),
@@ -210,11 +202,7 @@ class STConv3d(nn.Module):
             param_dtype=jnp.float32,
             name="conv2",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn2",
-        )(x)
-        return nn.relu(x).astype(self.dtype)
+        return bn_relu(x, train, self.dtype, name="bn2")
 
 
 class SelfGating(nn.Module):

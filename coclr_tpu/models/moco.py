@@ -186,9 +186,14 @@ def encode_keys(encoder, state: MoCoState, x2, rng, axis_name,
     Mirrors pretrain.py:159-172: EMA first, shuffle, encode (per-device BN
     stats update), unshuffle.
     """
-    if axis_name is None and bn_shuffle == "alltoall":
-        bn_shuffle = "gather"  # single device: plain local permutation
-    if bn_shuffle == "alltoall" and x2.shape[0] % jax.lax.axis_size(axis_name):
+    if axis_name is None:
+        # One device == one BN batch: a within-batch permutation (what
+        # gather/alltoall degenerate to) changes neither the BN statistics
+        # (permutation-invariant) nor the unshuffled keys — skip the
+        # round-trip copies outright. The reference never runs this case
+        # (single-GPU pretrain is forbidden, main_nce.py:182-186).
+        bn_shuffle = "none"
+    elif bn_shuffle == "alltoall" and x2.shape[0] % jax.lax.axis_size(axis_name):
         bn_shuffle = "gather"  # block exchange needs b % n == 0
 
     if bn_shuffle == "alltoall":

@@ -190,7 +190,10 @@ def test_shard_map_step_equals_serial_ddp(encoder, variant, bn_shuffle):
     np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
                                atol=1e-5, rtol=0)
     # Adam's 1/sqrt(v) amplifies f32 all-reduce ordering noise slightly
-    _tree_close(state2.params_q, params_ref, atol=5e-5)
+    # 1e-4: FoldedBatchNorm's folded affine (x*s + o) accumulates in a
+    # different order than the serial simulation's flax-style normalize;
+    # observed worst-case param divergence after 2 Adam steps is ~5e-5.
+    _tree_close(state2.params_q, params_ref, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state2.queue),
                                np.asarray(queue_ref), atol=1e-5, rtol=0)
     assert int(state2.queue_ptr) == ptr_ref
