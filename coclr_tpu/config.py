@@ -59,6 +59,8 @@ class PretrainConfig:
     dcn_size: int = 1                   # >1: multi-slice DP over a dcn axis
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)
+    worker_mode: str = "thread"         # loader workers: thread | process
+    profile_steps: int = 0              # >0: trace N steps of first epoch
 
     @property
     def dtype(self):
@@ -101,6 +103,7 @@ class EvalConfig:
     num_devices: int = 0
     decode_size: Tuple[int, int] = (136, 180)
     data_root: str = ""
+    worker_mode: str = "thread"         # loader workers: thread | process
 
     @property
     def dtype(self):

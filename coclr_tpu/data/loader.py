@@ -1,10 +1,18 @@
-"""Threaded, prefetching batch loader.
+"""Prefetching batch loaders: threaded and multi-process.
 
 Replaces the reference's FastDataLoader (persistent torch worker processes,
 utils/utils.py:233-260) + DistributedSampler (main_nce.py:414-424): one
-process feeds all chips, decode parallelism comes from a thread pool (cv2
-JPEG decode releases the GIL), and a producer thread keeps a prefetch queue
-of collated numpy batches ahead of the device.
+process feeds all chips. Two worker modes:
+
+- "thread" (default): a thread pool decodes samples; fine whenever the hot
+  work releases the GIL (cv2 JPEG decode, the native C++ plane).
+- "process": persistent forked worker processes with shared-memory sample
+  staging — the reference's process-worker model (utils/utils.py:233-260),
+  for many-core hosts where the pure-Python fallback plane (msgpack parse,
+  lmdb_format.py reads) would GIL-throttle a thread pool. Workers write
+  decoded sample arrays into a SharedMemory slab (no pickling of frame
+  data); the parent reassembles batches in deterministic order, so both
+  modes yield bitwise-identical batches for the same (seed, epoch).
 
 Shuffle semantics: per-epoch reshuffle with seed=epoch like
 DistributedSampler.set_epoch (main_nce.py:255-260); drop_last=True.
@@ -12,10 +20,14 @@ DistributedSampler.set_epoch (main_nce.py:255-260); drop_last=True.
 
 from __future__ import annotations
 
+import atexit
+import multiprocessing as mp
 import queue
 import threading
+import traceback
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional
+from multiprocessing import shared_memory
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -27,10 +39,135 @@ def collate(samples) -> Dict[str, np.ndarray]:
     return out
 
 
+def _sample_layout(sample: Dict[str, np.ndarray]):
+    """(layout, total_bytes): per-key (offset, shape, dtype) in a flat slot."""
+    layout = {}
+    off = 0
+    for key in sorted(sample):
+        arr = np.asarray(sample[key])
+        nbytes = int(arr.nbytes)
+        layout[key] = (off, arr.shape, arr.dtype.str)
+        off += -(-nbytes // 64) * 64  # 64B-align each field
+    return layout, off
+
+
+def _pack_sample(sample, layout, buf: memoryview):
+    for key, (off, shape, dtype) in layout.items():
+        arr = np.ascontiguousarray(np.asarray(sample[key]))
+        n = arr.nbytes
+        buf[off:off + n] = arr.view(np.uint8).reshape(-1).data
+
+
+def _unpack_sample(layout, buf: memoryview) -> Dict[str, np.ndarray]:
+    out = {}
+    for key, (off, shape, dtype) in layout.items():
+        n = int(np.dtype(dtype).itemsize * np.prod(shape, dtype=np.int64))
+        out[key] = (np.frombuffer(buf[off:off + n], dtype=np.dtype(dtype))
+                    .reshape(shape))
+    return out
+
+
+def _process_worker(dataset, idx_q, res_q, shm_name, slot_bytes, layout):
+    """Worker loop: decode dataset[index] into shared-memory slot `slot`."""
+    try:  # inherited native decode pool threads died at fork(); rebuild lazily
+        from coclr_tpu.data import native
+        lib = native.get_lib()
+        if lib is not None:
+            lib.cdp_fork_reset()
+    except Exception:
+        pass
+    try:  # per-process parallelism comes from the worker pool itself
+        import cv2
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+    shm = shared_memory.SharedMemory(name=shm_name)
+    try:
+        while True:
+            task = idx_q.get()
+            if task is None:
+                return
+            gen, pos, index, epoch, slot = task
+            try:
+                if epoch != getattr(dataset, "epoch", epoch):
+                    dataset.set_epoch(epoch)
+                sample = dataset[index]
+                view = shm.buf[slot * slot_bytes:(slot + 1) * slot_bytes]
+                _pack_sample(sample, layout, view)
+                del view  # release before any shm.close()
+                res_q.put((gen, pos, slot, None))
+            except BaseException:
+                res_q.put((gen, pos, slot, traceback.format_exc()))
+    finally:
+        try:
+            shm.close()
+        except BufferError:
+            pass  # a live view would only leak at process exit anyway
+
+
+class _ProcessPool:
+    """Persistent forked workers + one SharedMemory slab of sample slots.
+
+    Kept alive across epochs (the reference's FastDataLoader keeps its
+    torch workers alive the same way, utils/utils.py:233-246)."""
+
+    def __init__(self, dataset, num_workers: int, n_slots: int):
+        probe = dataset[0]  # also warms metadata before the fork
+        self.layout, self.slot_bytes = _sample_layout(probe)
+        self.n_slots = n_slots
+        ctx = mp.get_context("fork")  # LMDB mmaps/handles are inherited r/o
+        self.shm = shared_memory.SharedMemory(
+            create=True, size=max(1, self.slot_bytes * n_slots))
+        self.idx_q = ctx.Queue()
+        self.res_q = ctx.Queue()
+        self.procs = [
+            ctx.Process(target=_process_worker,
+                        args=(dataset, self.idx_q, self.res_q, self.shm.name,
+                              self.slot_bytes, self.layout),
+                        daemon=True)
+            for _ in range(num_workers)]
+        for p in self.procs:
+            p.start()
+        self.free: List[int] = list(range(n_slots))
+        self.ready: Dict[int, int] = {}  # pos -> slot, current generation
+        self.gen = 0  # bumped per __iter__; stale results are reclaimed
+        self._closed = False
+        atexit.register(self.close)
+
+    def slot_view(self, slot: int) -> memoryview:
+        return self.shm.buf[slot * self.slot_bytes:(slot + 1) * self.slot_bytes]
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        for _ in self.procs:
+            try:
+                self.idx_q.put(None)
+            except Exception:
+                pass
+        for p in self.procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        try:
+            self.shm.close()
+        except BufferError:
+            pass  # consumer still holds a view; OS reclaims at exit
+        try:
+            self.shm.unlink()
+        except FileNotFoundError:
+            pass
+
+
 class Loader:
+    """worker_mode: 'thread' (GIL-releasing decode paths) or 'process'
+    (forked workers + shared-memory staging)."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 3):
+                 seed: int = 0, prefetch: int = 3,
+                 worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,12 +176,23 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
-        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._ppool: Optional[_ProcessPool] = None
+        if worker_mode == "thread":
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
+
+    def close(self):
+        if self._ppool is not None:
+            self._ppool.close()
+            self._ppool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -57,6 +205,12 @@ class Loader:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+        else:
+            yield from self._iter_thread()
+
+    def _iter_thread(self):
         order = self._order()
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -86,3 +240,62 @@ class Loader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_process(self):
+        if self._ppool is None:
+            n_slots = self.batch_size * (self.prefetch + 1)
+            self._ppool = _ProcessPool(self.dataset, self.num_workers, n_slots)
+        pool = self._ppool
+        pool.gen += 1
+        gen = pool.gen
+        pool.free.extend(pool.ready.values())  # abandoned iterator's holds
+        pool.ready.clear()
+        ready = pool.ready
+        order = self._order()
+        nb = len(self)
+        total = nb * self.batch_size
+        dispatched = 0
+
+        def recv(block: bool):
+            """Take one result; reclaim slots of stale-generation results."""
+            try:
+                rgen, rpos, slot, err = pool.res_q.get(block=block)
+            except queue.Empty:
+                return False
+            if rgen != gen:  # abandoned earlier iterator's in-flight work
+                pool.free.append(slot)
+                return True
+            if err is not None:
+                pool.free.append(slot)
+                raise RuntimeError(
+                    f"loader worker failed on sample {rpos}:\n{err}")
+            ready[rpos] = slot
+            return True
+
+        def dispatch():
+            nonlocal dispatched
+            while recv(block=False):  # reclaim any stale slots first
+                pass
+            while dispatched < total and pool.free:
+                slot = pool.free.pop()
+                pool.idx_q.put((gen, dispatched, int(order[dispatched]),
+                                self.epoch, slot))
+                dispatched += 1
+
+        dispatch()
+        for bi in range(nb):
+            samples = []
+            batch_slots: List[int] = []
+            for pos in range(bi * self.batch_size,
+                             (bi + 1) * self.batch_size):
+                while pos not in ready:
+                    recv(block=True)
+                slot = ready.pop(pos)
+                samples.append(_unpack_sample(pool.layout,
+                                              pool.slot_view(slot)))
+                batch_slots.append(slot)
+            batch = collate(samples)  # np.stack copies out of the shm views
+            del samples  # drop memoryview-backed arrays before slot reuse
+            pool.free.extend(batch_slots)
+            dispatch()
+            yield batch

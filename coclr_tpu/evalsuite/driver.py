@@ -168,10 +168,11 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
     if val_dataset is None:
         val_dataset = build_eval_dataset(cfg, "val")
     train_loader = Loader(train_dataset, global_batch,
-                          num_workers=cfg.workers, seed=cfg.seed)
+                          num_workers=cfg.workers, seed=cfg.seed,
+                          worker_mode=cfg.worker_mode)
     val_loader = Loader(val_dataset, global_batch, shuffle=False,
                         num_workers=cfg.workers, drop_last=False,
-                        seed=cfg.seed)
+                        seed=cfg.seed, worker_mode=cfg.worker_mode)
 
     plotter = PlotterThread(os.path.join(img_path, "train"))
     logger = Logger(img_path)

@@ -26,6 +26,7 @@ from coclr_tpu.parallel import make_mesh, make_pretrain_step
 from coclr_tpu.parallel.mesh import DATA_AXIS, mesh_axes
 from coclr_tpu.train import init_surgery
 from coclr_tpu.train.lr import get_lr
+from coclr_tpu.utils import profiling
 from coclr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from coclr_tpu.utils.logging import Logger, PlotterThread
 from coclr_tpu.utils.meters import AverageMeter, ProgressMeter
@@ -166,7 +167,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         dataset = build_dataset(cfg)
     if loader is None:
         loader = Loader(dataset, batch_size=global_batch,
-                        num_workers=cfg.workers, seed=cfg.seed)
+                        num_workers=cfg.workers, seed=cfg.seed,
+                        worker_mode=cfg.worker_mode)
 
     plotter = PlotterThread(os.path.join(img_path, "train"))
     logger = Logger(img_path)
@@ -195,13 +197,33 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
             meters["acc@1"].update(float(m["top1"]), bs)
             meters["acc@5"].update(float(m["top5"]), bs)
 
+        # --profile_steps N: capture an XLA device trace of N steady-state
+        # steps of epoch 0 into <exp>/trace (view in TensorBoard/Perfetto).
+        # Starts at step 10 (past compile/warmup) when the epoch is long
+        # enough, else as late as fits.
+        prof_at = -1
+        if cfg.profile_steps and epoch == start_epoch:
+            prof_at = max(0, min(10, len(loader) - cfg.profile_steps))
+        prof_ctx = None
+
         steps_this_epoch = 0
         for idx, batch in enumerate(loader):
             meters["Data"].update(time.time() - end)
+            if idx == prof_at:
+                prof_ctx = profiling.device_trace(
+                    os.path.join(exp_path, "trace"))
+                prof_ctx.__enter__()
             batch = put_batch(batch)
-            state, opt_state, metrics = step_fn(
-                state, opt_state, batch,
-                jax.random.fold_in(run_key, iteration), jnp.float32(lr))
+            with profiling.step_annotation("train", iteration):
+                state, opt_state, metrics = step_fn(
+                    state, opt_state, batch,
+                    jax.random.fold_in(run_key, iteration), jnp.float32(lr))
+            if prof_ctx is not None and idx == prof_at + cfg.profile_steps - 1:
+                jax.block_until_ready(metrics["loss"])
+                prof_ctx.__exit__(None, None, None)
+                prof_ctx = None
+                print(f"=> device trace ({cfg.profile_steps} steps) written "
+                      f"to {os.path.join(exp_path, 'trace')}")
             drain(pending)  # read step i-1's metrics while step i runs
             pending = (metrics, global_batch)
             meters["Time"].update(time.time() - end)
@@ -218,6 +240,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
             steps_this_epoch += 1
             if max_steps and steps_this_epoch >= max_steps:
                 break
+        if prof_ctx is not None:  # epoch ended inside the trace window
+            prof_ctx.__exit__(None, None, None)
         drain(pending)
 
         print(f"Epoch: [{epoch}][{steps_this_epoch}] T-epoch:"

@@ -62,6 +62,13 @@ def parse_args():
     parser.add_argument('--dcn_size', default=1, type=int,
                         help='multi-slice data parallelism: slices over DCN')
     parser.add_argument('--data_root', default='', type=str)
+    parser.add_argument('--worker_mode', default='thread', type=str,
+                        choices=['thread', 'process'],
+                        help='loader workers: thread pool or forked processes'
+                             ' with shared-memory staging')
+    parser.add_argument('--profile_steps', default=0, type=int,
+                        help='capture an XLA device trace of N steady-state '
+                             'steps of the first epoch into <exp>/trace')
     parser.add_argument('--cos', action='store_true')
     return parser.parse_args()
 
@@ -82,7 +89,8 @@ def cfg_from_args(args) -> PretrainConfig:
         aug_order=args.aug_order,
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
-        data_root=args.data_root, cos=args.cos)
+        data_root=args.data_root, cos=args.cos,
+        worker_mode=args.worker_mode, profile_steps=args.profile_steps)
 
 
 if __name__ == '__main__':

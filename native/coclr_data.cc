@@ -401,6 +401,16 @@ static Pool* g_pool = nullptr;
 static int g_pool_size = 0;
 static std::mutex g_pool_mu;
 
+// After fork(), the pool's threads do not exist in the child; abandon the
+// inherited object (joining would hang) so the next decode rebuilds a live
+// pool. Called by worker-process init in coclr_tpu/data/loader.py.
+int cdp_fork_reset() {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  g_pool = nullptr;  // deliberate leak of the dead-threaded inherited pool
+  g_pool_size = 0;
+  return 0;
+}
+
 static Pool* pool(int n) {
   std::lock_guard<std::mutex> lk(g_pool_mu);
   if (!g_pool || g_pool_size != n) {

@@ -167,3 +167,40 @@ def test_loader(synth):
     b1 = next(iter(loader))
     assert not np.array_equal(b["index"], b1["index"]) or \
         not np.array_equal(b["seq"], b1["seq"])
+
+
+def test_process_loader_matches_thread_loader(synth):
+    """worker_mode='process' (forked workers + shared-memory staging,
+    the reference's process-worker model utils/utils.py:233-260) yields
+    bitwise-identical batches to the thread loader, survives an abandoned
+    mid-epoch iterator, and keeps its workers across epochs."""
+    ds = UCF101LMDB_2CLIP(root=synth["root"], db_path=synth["db_path"],
+                          mode="train", num_frames=8, return_label=True,
+                          return_source=True, img_dim=32)
+    lt = Loader(ds, batch_size=2, num_workers=2, seed=0)
+    lp = Loader(ds, batch_size=2, num_workers=2, seed=0,
+                worker_mode="process")
+    try:
+        for epoch in (0, 1):
+            lt.set_epoch(epoch)
+            lp.set_epoch(epoch)
+            bt, bp = list(lt), list(lp)
+            assert len(bt) == len(bp) == 2
+            for a, b in zip(bt, bp):
+                assert set(a) == set(b)
+                for k in a:
+                    assert np.array_equal(a[k], b[k]), (k, epoch)
+        first_pid_set = {p.pid for p in lp._ppool.procs}
+
+        # abandon an iterator mid-epoch; in-flight slots must be reclaimed
+        it = iter(lp)
+        next(it)
+        del it
+        lp.set_epoch(2)
+        lt.set_epoch(2)
+        for a, b in zip(lt, lp):
+            for k in a:
+                assert np.array_equal(a[k], b[k])
+        assert {p.pid for p in lp._ppool.procs} == first_pid_set
+    finally:
+        lp.close()

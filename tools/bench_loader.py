@@ -61,25 +61,30 @@ def main():
             os.environ.pop("COCLR_NO_NATIVE", None)
             if not native.available():
                 results[mode] = None
+                results[f"{mode}-process"] = None
                 continue
         ds = UCF101LMDB_2CLIP(mode="train", num_frames=args.seq_len, ds=1,
                               return_label=True, img_dim=args.img_dim, **kw)
-        loader = Loader(ds, batch_size=args.batch_size,
-                        num_workers=args.workers, seed=0)
-        loader.set_epoch(0)
-        next(iter(loader))  # warm the worker pool
-        t0 = time.perf_counter()
-        n, done, epoch = 0, 0, 0
-        while done < args.steps:
-            epoch += 1
-            loader.set_epoch(epoch)
-            for batch in loader:
-                n += batch["seq"].shape[0] * 2  # 2 clips per sample
-                done += 1
-                if done >= args.steps:
-                    break
-        dt = time.perf_counter() - t0
-        results[mode] = round(n / dt, 1)
+        for worker_mode in ("thread", "process"):
+            loader = Loader(ds, batch_size=args.batch_size,
+                            num_workers=args.workers, seed=0,
+                            worker_mode=worker_mode)
+            loader.set_epoch(0)
+            next(iter(loader))  # warm the worker pool
+            t0 = time.perf_counter()
+            n, done, epoch = 0, 0, 0
+            while done < args.steps:
+                epoch += 1
+                loader.set_epoch(epoch)
+                for batch in loader:
+                    n += batch["seq"].shape[0] * 2  # 2 clips per sample
+                    done += 1
+                    if done >= args.steps:
+                        break
+            dt = time.perf_counter() - t0
+            key = mode if worker_mode == "thread" else f"{mode}-process"
+            results[key] = round(n / dt, 1)
+            loader.close()
 
     os.environ.pop("COCLR_NO_NATIVE", None)
     print(json.dumps({
@@ -87,6 +92,8 @@ def main():
                   f"crop {args.img_dim}, {args.workers} workers)",
         "native": results.get("native"),
         "python": results.get("python"),
+        "native_process": results.get("native-process"),
+        "python_process": results.get("python-process"),
     }))
 
 

@@ -1,0 +1,197 @@
+"""One full CoCLR cycle drive at reference scale shape, on the real chip.
+
+Scripted version of the reference's training recipe
+(/root/reference/README.md:28-56): two InfoNCE inits (RGB + Flow) ->
+Cycle1-FlowMining (CoCLR trains RGB with the flow sampler) ->
+Cycle1-RGBMining (--reverse: trains Flow with the mined-RGB sampler) ->
+NN retrieval before/after for both modalities. Every stage runs through the
+real CLIs (main_nce.py / main_coclr.py / eval/main_classifier.py) with
+moco-k 2048, seq_len 32, 128x128 — exercising the queue-fill gate, the
+two-checkpoint surgery, and the --reverse path end-to-end.
+
+Data: the learnable synthetic UCF (class-coded drift-speed gratings,
+coclr_tpu/data/synthetic.py) whose flow modality shares the class code —
+the CoCLR mining premise — so retrieval acc and sampling acc are meaningful
+learning signals, not just plumbing checks.
+
+Writes DRIVE_coclr_cycle.json at the repo root (committed as the round's
+learning-dynamics artifact) with per-phase loss trajectories, sampling
+accuracies and retrieval recalls.
+
+Usage (background, ~1-2h wall on the axon dev image — host-loader-bound on
+its single CPU, not chip-bound):
+  python tools/drive_coclr_cycle.py [--workdir /tmp/coclr_cycle]
+      [--epochs_nce 12] [--epochs_coclr 10] [--seq_len 32] [--img_dim 128]
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+EPOCH_RE = re.compile(r"epoch (\d+) loss ([\d.]+) acc@1 ([\d.]+)")
+NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
+
+
+def run_cli(tag, args_list, cwd, log_dir):
+    os.makedirs(log_dir, exist_ok=True)
+    log_file = os.path.join(log_dir, f"{tag}.log")
+    print(f"[drive] {tag}: {' '.join(args_list)}", flush=True)
+    t0 = time.time()
+    with open(log_file, "w") as f:
+        p = subprocess.run([sys.executable] + args_list, cwd=cwd,
+                           stdout=f, stderr=subprocess.STDOUT)
+    wall = time.time() - t0
+    text = open(log_file).read()
+    if p.returncode != 0:
+        print(text[-4000:], flush=True)
+        raise RuntimeError(f"{tag} failed (rc={p.returncode}); log {log_file}")
+    print(f"[drive] {tag} done in {wall/60:.1f} min", flush=True)
+    return text, wall
+
+
+def parse_epochs(text):
+    return [{"epoch": int(e), "loss": float(l), "acc1": float(a)}
+            for e, l, a in EPOCH_RE.findall(text)]
+
+
+def parse_retrieval(text):
+    return {f"R@{k}": float(v) for k, v in NN_RE.findall(text)}
+
+
+def latest_ckpt(workdir, prefix):
+    pats = glob.glob(os.path.join(workdir, f"log-{prefix}*", "*", "model",
+                                  "epoch*.ckpt"))
+    pats += glob.glob(os.path.join(workdir, f"log-{prefix}*", "**", "model",
+                                   "epoch*.ckpt"), recursive=True)
+    if not pats:
+        raise RuntimeError(f"no checkpoint under {workdir}/log-{prefix}*")
+
+    def ep(p):
+        m = re.search(r"epoch(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return max(set(pats), key=ep)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/coclr_cycle")
+    ap.add_argument("--epochs_nce", default=12, type=int)
+    ap.add_argument("--epochs_coclr", default=10, type=int)
+    ap.add_argument("--seq_len", default=32, type=int)
+    ap.add_argument("--img_dim", default=128, type=int)
+    ap.add_argument("--batch_size", default=32, type=int)
+    ap.add_argument("--moco_k", default=2048, type=int)
+    ap.add_argument("--n_classes", default=4, type=int)
+    ap.add_argument("--n_groups", default=24, type=int)
+    ap.add_argument("--n_clips", default=4, type=int)
+    ap.add_argument("--workers", default=8, type=int)
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+    data_root = os.path.join(wd, "data")
+    db = os.path.join(data_root, "UCF101", "ucf101_frame.lmdb")
+    dbf = os.path.join(data_root, "UCF101", "ucf101_tvl1_frame.lmdb")
+
+    if not (os.path.exists(db) and os.path.exists(dbf)):
+        from coclr_tpu.data.synthetic import make_synthetic_ucf
+
+        print("[drive] staging learnable synthetic UCF...", flush=True)
+        out = make_synthetic_ucf(
+            os.path.join(wd, "gen"), n_classes=args.n_classes,
+            n_groups=args.n_groups, n_clips=args.n_clips,
+            n_frames=args.seq_len + 16, size=(136, 180), flow=True,
+            content="learnable", seed=0)
+        os.makedirs(os.path.dirname(db), exist_ok=True)
+        os.replace(out["db_path"], db)
+        os.replace(out["db_path_flow"], dbf)
+        meta_link = os.path.join(REPO, "process_data", "data", "ucf101")
+        os.makedirs(os.path.dirname(meta_link), exist_ok=True)
+        if os.path.islink(meta_link):
+            os.unlink(meta_link)
+        if not os.path.exists(meta_link):
+            os.symlink(out["root"], meta_link)
+        print(f"[drive] staged at {data_root}", flush=True)
+
+    common = ["--net", "s3d", "--moco-k", str(args.moco_k),
+              "--seq_len", str(args.seq_len), "--ds", "1",
+              "--batch_size", str(args.batch_size),
+              "--img_dim", str(args.img_dim), "-j", str(args.workers),
+              "--data_root", data_root, "--save_freq", "2"]
+    log_dir = os.path.join(wd, "drivelogs")
+    report = {"config": vars(args), "phases": {}}
+
+    def phase(tag, cli, extra):
+        text, wall = run_cli(tag, [os.path.join(REPO, cli)] + extra + common,
+                             wd, log_dir)
+        report["phases"][tag] = {"wall_min": round(wall / 60, 1),
+                                 "epochs": parse_epochs(text)}
+        return text
+
+    def retrieval(tag, ckpt, dataset):
+        text, wall = run_cli(
+            tag, [os.path.join(REPO, "eval", "main_classifier.py"),
+                  "--net", "s3d", "--dataset", dataset,
+                  "--seq_len", str(args.seq_len), "--ds", "1",
+                  "--img_dim", str(args.img_dim),
+                  "--batch_size", str(args.batch_size),
+                  "--data_root", data_root, "-j", str(args.workers),
+                  "--test", ckpt, "--retrieval",
+                  "--dirname", os.path.join(wd, "feat_" + tag)],
+            wd, log_dir)
+        report["phases"][tag] = {"wall_min": round(wall / 60, 1),
+                                 **parse_retrieval(text)}
+
+    t_start = time.time()
+    # 1+2: InfoNCE inits (README.md:28-40)
+    phase("nce_rgb", "main_nce.py",
+          ["--model", "infonce", "--dataset", "ucf101-2clip",
+           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_rgb"])
+    rgb_init = latest_ckpt(wd, "cyc_nce_rgb")
+    phase("nce_flow", "main_nce.py",
+          ["--model", "infonce", "--dataset", "ucf101-f-2clip",
+           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_flow"])
+    flow_init = latest_ckpt(wd, "cyc_nce_flow")
+
+    retrieval("retrieval_rgb_init", rgb_init, "ucf101")
+    retrieval("retrieval_flow_init", flow_init, "ucf101-f")
+
+    # 3: Cycle1-FlowMining — trains RGB, flow sampler (README.md:42-48)
+    phase("coclr_flowmining", "main_coclr.py",
+          ["--topk", "5", "--dataset", "ucf101-2stream-2clip",
+           "--epochs", str(args.epochs_coclr),
+           "--name_prefix", "Cycle1-FlowMining_", "--prefix", "cyc_cf",
+           "--pretrain", rgb_init, flow_init])
+    rgb_c1 = latest_ckpt(wd, "cyc_cf")
+
+    # 4: Cycle1-RGBMining — trains Flow, mined-RGB sampler, --reverse
+    phase("coclr_rgbmining", "main_coclr.py",
+          ["--topk", "5", "--reverse", "--dataset", "ucf101-2stream-2clip",
+           "--epochs", str(args.epochs_coclr),
+           "--name_prefix", "Cycle1-RGBMining_", "--prefix", "cyc_cr",
+           "--pretrain", flow_init, rgb_c1])
+    flow_c1 = latest_ckpt(wd, "cyc_cr")
+
+    retrieval("retrieval_rgb_coclr", rgb_c1, "ucf101")
+    retrieval("retrieval_flow_coclr", flow_c1, "ucf101-f")
+
+    report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
+    report["chance_R@1"] = round(1.0 / args.n_classes, 4)
+    out_path = os.path.join(REPO, "DRIVE_coclr_cycle.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[drive] report -> {out_path}", flush=True)
+    print(json.dumps(report, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
