@@ -21,7 +21,7 @@ accuracies and retrieval recalls.
 Usage (background, ~1-2h wall on the axon dev image — host-loader-bound on
 its single CPU, not chip-bound):
   python tools/drive_coclr_cycle.py [--workdir /tmp/coclr_cycle]
-      [--epochs_nce 12] [--epochs_coclr 10] [--seq_len 32] [--img_dim 128]
+      [--epochs_nce 18] [--epochs_coclr 12] [--seq_len 32] [--img_dim 128]
 """
 
 import argparse
@@ -36,7 +36,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-EPOCH_RE = re.compile(r"epoch (\d+) loss ([\d.]+) acc@1 ([\d.]+)")
+# progress-meter lines: "Epoch:[3][0/17]  Time ...  Loss 4.1 (4.3)  acc@1
+# 0.50 (0.48) ..." — parenthesized values are the epoch running averages
+EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*Loss [\d.]+ "
+                      r"\(([\d.]+)\).*acc@1 [\d.]+ \(([\d.]+)\)")
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
@@ -58,8 +61,11 @@ def run_cli(tag, args_list, cwd, log_dir):
 
 
 def parse_epochs(text):
-    return [{"epoch": int(e), "loss": float(l), "acc1": float(a)}
-            for e, l, a in EPOCH_RE.findall(text)]
+    """Last (= epoch-average) Loss/acc@1 of each epoch's progress lines."""
+    per = {}
+    for e, l, a in EPOCH_RE.findall(text):
+        per[int(e)] = {"epoch": int(e), "loss": float(l), "acc1": float(a)}
+    return [per[k] for k in sorted(per)]
 
 
 def parse_retrieval(text):
@@ -84,16 +90,20 @@ def latest_ckpt(workdir, prefix):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/coclr_cycle")
-    ap.add_argument("--epochs_nce", default=12, type=int)
-    ap.add_argument("--epochs_coclr", default=10, type=int)
+    ap.add_argument("--epochs_nce", default=18, type=int)
+    ap.add_argument("--epochs_coclr", default=12, type=int)
     ap.add_argument("--seq_len", default=32, type=int)
     ap.add_argument("--img_dim", default=128, type=int)
     ap.add_argument("--batch_size", default=32, type=int)
     ap.add_argument("--moco_k", default=2048, type=int)
     ap.add_argument("--n_classes", default=4, type=int)
     ap.add_argument("--n_groups", default=24, type=int)
-    ap.add_argument("--n_clips", default=4, type=int)
+    ap.add_argument("--n_clips", default=6, type=int)
     ap.add_argument("--workers", default=8, type=int)
+    ap.add_argument("--num_devices", default=0, type=int,
+                    help="pass through to the CLIs (mini CPU runs: keep low "
+                         "— 8 virtual devices starve collective rendezvous "
+                         "on few-core hosts)")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -126,7 +136,8 @@ def main():
               "--seq_len", str(args.seq_len), "--ds", "1",
               "--batch_size", str(args.batch_size),
               "--img_dim", str(args.img_dim), "-j", str(args.workers),
-              "--data_root", data_root, "--save_freq", "2"]
+              "--data_root", data_root, "--save_freq", "2",
+              "--num_devices", str(args.num_devices)]
     log_dir = os.path.join(wd, "drivelogs")
     report = {"config": vars(args), "phases": {}}
 
@@ -145,6 +156,7 @@ def main():
                   "--img_dim", str(args.img_dim),
                   "--batch_size", str(args.batch_size),
                   "--data_root", data_root, "-j", str(args.workers),
+                  "--num_devices", str(args.num_devices),
                   "--test", ckpt, "--retrieval",
                   "--dirname", os.path.join(wd, "feat_" + tag)],
             wd, log_dir)
