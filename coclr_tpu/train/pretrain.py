@@ -181,8 +181,13 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         loader.set_epoch(epoch)
         lr = get_lr(cfg, epoch)
 
-        meters = {name: AverageMeter(name) for name in
-                  ("Time", "Data", "Loss", "acc@1", "acc@5")}
+        names = ["Time", "Data", "Loss", "acc@1", "acc@5"]
+        if cfg.model in ("coclr", "ubernce"):
+            # reference meter set (main_coclr.py:348-359); its
+            # 'Sampling-Acc@k' meter is declared but never updated — a dead
+            # always-zero column we deliberately do not replicate
+            names += ["Self-acc@1", "Self-acc@5"]
+        meters = {name: AverageMeter(name) for name in names}
         progress = ProgressMeter(len(loader), list(meters.values()),
                                  prefix=f"Epoch:[{epoch}]")
         tic = time.time()
@@ -196,6 +201,9 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
             meters["Loss"].update(float(m["loss"]), bs)
             meters["acc@1"].update(float(m["top1"]), bs)
             meters["acc@5"].update(float(m["top5"]), bs)
+            if "top1_self" in m and "Self-acc@1" in meters:
+                meters["Self-acc@1"].update(float(m["top1_self"]), bs)
+                meters["Self-acc@5"].update(float(m["top5_self"]), bs)
 
         # --profile_steps N: capture an XLA device trace of N steady-state
         # steps of epoch 0 into <exp>/trace (view in TensorBoard/Perfetto).

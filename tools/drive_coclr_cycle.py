@@ -38,8 +38,8 @@ sys.path.insert(0, REPO)
 
 # progress-meter lines: "Epoch:[3][0/17]  Time ...  Loss 4.1 (4.3)  acc@1
 # 0.50 (0.48) ..." — parenthesized values are the epoch running averages
-EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*Loss [\d.]+ "
-                      r"\(([\d.]+)\).*acc@1 [\d.]+ \(([\d.]+)\)")
+EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Loss [\d.]+ "
+                      r"\(([\d.]+)\).*?acc@1 [\d.]+ \(([\d.]+)\)")
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
