@@ -204,3 +204,18 @@ def test_process_loader_matches_thread_loader(synth):
         assert {p.pid for p in lp._ppool.procs} == first_pid_set
     finally:
         lp.close()
+
+
+def test_hmdb51_dataset_classes(synth):
+    """HMDB51LMDB / HMDB51Flow_LMDB (lmdb_dataset.py:200,365): same metadata
+    style as UCF101, different default roots — exercised with explicit
+    root/db_path over the synthetic store."""
+    from coclr_tpu.data.datasets import HMDB51LMDB
+
+    ds = HMDB51LMDB(root=synth["root"], db_path=synth["db_path"],
+                    mode="train", num_frames=8, ds=1, return_label=True,
+                    img_dim=32)
+    assert len(ds) > 0 and ds.num_class == 2
+    s = ds[0]
+    assert s["seq"].shape == (1, 8, 32, 32, 3)
+    assert 0 <= int(s["label"]) < 2
