@@ -1,0 +1,93 @@
+"""Regenerate DRIVE_coclr_cycle.json (+ a markdown summary) from a drive
+workdir's saved phase logs — the source of truth if the in-process report
+was produced by an older parser.
+
+Usage: python tools/summarize_coclr_drive.py [--workdir /tmp/coclr_cycle]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from drive_coclr_cycle import parse_epochs, parse_retrieval  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TRAIN_PHASES = ["nce_rgb", "nce_flow", "coclr_flowmining", "coclr_rgbmining"]
+RETR_PHASES = ["retrieval_rgb_init", "retrieval_flow_init",
+               "retrieval_rgb_coclr", "retrieval_flow_coclr"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/coclr_cycle")
+    ap.add_argument("--chance", default=0.25, type=float)
+    args = ap.parse_args()
+    logs = os.path.join(args.workdir, "drivelogs")
+
+    report = {"phases": {}, "chance_R@1": args.chance}
+    prior = os.path.join(REPO, "DRIVE_coclr_cycle.json")
+    if os.path.exists(prior):
+        with open(prior) as f:
+            old = json.load(f)
+        report["config"] = old.get("config")
+        report["total_wall_min"] = old.get("total_wall_min")
+        for tag, ph in old.get("phases", {}).items():
+            if "wall_min" in ph:
+                report["phases"].setdefault(tag, {})["wall_min"] = ph["wall_min"]
+
+    for tag in TRAIN_PHASES:
+        path = os.path.join(logs, f"{tag}.log")
+        if not os.path.exists(path):
+            continue
+        report["phases"].setdefault(tag, {})["epochs"] = parse_epochs(
+            open(path).read())
+    for tag in RETR_PHASES:
+        path = os.path.join(logs, f"{tag}.log")
+        if not os.path.exists(path):
+            continue
+        report["phases"].setdefault(tag, {}).update(
+            parse_retrieval(open(path).read()))
+
+    with open(prior, "w") as f:
+        json.dump(report, f, indent=1)
+
+    lines = ["# CoCLR cycle drive — real chip, learnable synthetic UCF", ""]
+    lines += ["Scripted reference recipe (README.md:28-56 of the reference) "
+              "at moco-k 2048, seq 32, 128x128: two InfoNCE inits -> "
+              "Cycle1-FlowMining -> Cycle1-RGBMining (--reverse) -> NN "
+              "retrieval before/after. Produced by tools/drive_coclr_cycle.py;"
+              " raw logs in the drive workdir.", ""]
+    for tag in TRAIN_PHASES:
+        ph = report["phases"].get(tag, {})
+        eps = ph.get("epochs") or []
+        if not eps:
+            continue
+        first, last = eps[0], eps[-1]
+        lines.append(
+            f"- **{tag}**: loss {first['loss']:.3f} (ep{first['epoch']}) -> "
+            f"{last['loss']:.3f} (ep{last['epoch']}), acc@1 "
+            f"{first['acc1']:.3f} -> {last['acc1']:.3f}"
+            + (f", {ph['wall_min']} min" if "wall_min" in ph else ""))
+    lines.append("")
+    lines.append(f"NN retrieval on the held-out group (chance R@1 = "
+                 f"{args.chance}):")
+    lines.append("")
+    lines.append("| model | R@1 | R@5 |")
+    lines.append("|---|---|---|")
+    for tag in RETR_PHASES:
+        ph = report["phases"].get(tag, {})
+        if "R@1" in ph:
+            lines.append(f"| {tag.replace('retrieval_', '')} | "
+                         f"{ph['R@1']:.3f} | {ph.get('R@5', float('nan')):.3f} |")
+    out_md = os.path.join(REPO, "DRIVE_coclr_cycle.md")
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(report["phases"], indent=1)[:2000])
+    print(f"-> {prior}\n-> {out_md}")
+
+
+if __name__ == "__main__":
+    main()
