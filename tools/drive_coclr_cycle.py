@@ -48,8 +48,14 @@ def run_cli(tag, args_list, cwd, log_dir):
     log_file = os.path.join(log_dir, f"{tag}.log")
     print(f"[drive] {tag}: {' '.join(args_list)}", flush=True)
     t0 = time.time()
+    # PREPEND the repo to PYTHONPATH — replacing it would drop site hooks
+    # the image relies on (e.g. the axon backend plugin loads via a
+    # sitecustomize dir on PYTHONPATH)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     with open(log_file, "w") as f:
-        p = subprocess.run([sys.executable] + args_list, cwd=cwd,
+        p = subprocess.run([sys.executable] + args_list, cwd=cwd, env=env,
                            stdout=f, stderr=subprocess.STDOUT)
     wall = time.time() - t0
     text = open(log_file).read()
