@@ -36,8 +36,11 @@ def select_backbone(network: str, first_channel: int = 3,
     import os
 
     # COCLR_S2D_STEM=1: exact space-to-depth RGB stem (same canonical
-    # parameter, so checkpoints are unchanged) — see s3d.SpaceToDepthConv
-    s2d = bool(os.environ.get("COCLR_S2D_STEM"))
+    # parameter, so checkpoints are unchanged) — see s3d.SpaceToDepthConv.
+    # =2: additionally the pretrain aug pipeline emits pre-packed clips
+    # (ops/augment.py emit_s2d), skipping the on-device repack conv; the
+    # stem auto-detects raw vs packed input, so eval paths keep working.
+    s2d = os.environ.get("COCLR_S2D_STEM") not in (None, "", "0")
     param = {"feature_size": 1024}
     if network == "s3d":
         model = S3D(input_channel=first_channel, gating=False, dtype=dtype,

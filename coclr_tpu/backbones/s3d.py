@@ -105,19 +105,34 @@ class SpaceToDepthConv(nn.Module):
     pass; profiling showed the stem at ~12% MXU utilization and ~12% of step
     time. Space-to-depth packs 2x2 pixel blocks into channels (Cin 3->12) and
     halves H,W, quadrupling systolic-array occupancy for the same math.
+
+    Input may arrive PRE-PACKED as [B, T, H/2, W/2, 4c] (channel index
+    (ph*2+pw)*c + cc for 2x2 phase (ph, pw)) — e.g. emitted by the aug
+    pipeline (ops/augment.py emit_s2d) — in which case the on-device one-hot
+    packing conv is skipped entirely. Packing commutes with the conv's edge
+    padding because the effective left pad p0 = p+1 is even: padding the
+    packed tensor with p0/2 zero 4c-vectors equals padding the original
+    image with p0 zero pixels.
     """
 
     out_planes: int
     kernel_size: int  # k, odd
     padding: int      # symmetric; stride fixed at 2
     dtype: jnp.dtype = jnp.bfloat16
+    in_channels: int = 3  # canonical Cin of the parameter
 
     @nn.compact
     def __call__(self, x):
-        k, p, c = self.kernel_size, self.padding, x.shape[-1]
+        k, p, c = self.kernel_size, self.padding, self.in_channels
+        packed = x.shape[-1] == 4 * c
+        assert packed or x.shape[-1] == c, (
+            f"expected {c} (raw) or {4 * c} (pre-packed) channels, "
+            f"got {x.shape[-1]}")
         kernel = self.param("kernel", conv_init,
                             (1, k, k, c, self.out_planes), jnp.float32)
         b, t, h, w, _ = x.shape
+        if packed:
+            h, w = 2 * h, 2 * w
         out_h, out_w = (h + 2 * p - k) // 2 + 1, (w + 2 * p - k) // 2 + 1
         # out[i] = sum_m xpad[2i+m] w[m], xpad = pad(x, p). Re-index with an
         # even left pad P0 = p+1 (k odd => p even in our uses keeps parity):
@@ -130,22 +145,31 @@ class SpaceToDepthConv(nn.Module):
         hi_w = 2 * (out_w - 1) + k - w - p
         hi_h += (p0 + h + hi_h) % 2
         hi_w += (p0 + w + hi_w) % 2
-        xp = jnp.pad(x, ((0, 0), (0, 0), (p0, hi_h), (p0, hi_w), (0, 0)))
-        # 2x2 space-to-depth via a one-hot (1,2,2,c,4c) stride-2 conv: both
-        # strided slices (lowered to gathers, ~5ms each at stem size) and
-        # >5-D reshapes (pathological layout search) are far slower on this
-        # backend than a stride-2 conv, XLA's best-optimized data movement.
-        eye = jnp.zeros((1, 2, 2, c, 4 * c), self.dtype)
-        for ph in (0, 1):
-            for pw in (0, 1):
-                eye = eye.at[0, ph, pw,
-                             jnp.arange(c),
-                             (ph * 2 + pw) * c + jnp.arange(c)].set(1)
-        xs2d = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype), eye,
-            window_strides=(1, 2, 2), padding="VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=self.dtype)
+        if packed:
+            # phases align (p0, h, hi all even), so padding in packed
+            # coordinates is exact — no packing conv at all
+            assert hi_h % 2 == 0 and hi_w % 2 == 0 and h % 2 == 0
+            xs2d = jnp.pad(x.astype(self.dtype),
+                           ((0, 0), (0, 0), (p0 // 2, hi_h // 2),
+                            (p0 // 2, hi_w // 2), (0, 0)))
+        else:
+            xp = jnp.pad(x, ((0, 0), (0, 0), (p0, hi_h), (p0, hi_w), (0, 0)))
+            # 2x2 space-to-depth via a one-hot (1,2,2,c,4c) stride-2 conv:
+            # both strided slices (lowered to gathers, ~5ms each at stem
+            # size) and >5-D reshapes (pathological layout search) are far
+            # slower on this backend than a stride-2 conv, XLA's
+            # best-optimized data movement.
+            eye = jnp.zeros((1, 2, 2, c, 4 * c), self.dtype)
+            for ph in (0, 1):
+                for pw in (0, 1):
+                    eye = eye.at[0, ph, pw,
+                                 jnp.arange(c),
+                                 (ph * 2 + pw) * c + jnp.arange(c)].set(1)
+            xs2d = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype), eye,
+                window_strides=(1, 2, 2), padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=self.dtype)
         # kernel: [1,k,k,c,o] -> [1,k+1,k+1,c,o] (zero tap at index 0)
         #   -> [1,taps,2,taps,2,c,o] -> [1,taps,taps,2,2,c,o] -> [1,taps,taps,4c,o]
         w8 = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
@@ -170,6 +194,7 @@ class STConv3d(nn.Module):
     padding: int
     dtype: jnp.dtype = jnp.bfloat16
     s2d_spatial: bool = False  # exact space-to-depth path for the RGB stem
+    s2d_in_channels: int = 3   # canonical Cin (input may be pre-packed 4x)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -177,6 +202,7 @@ class STConv3d(nn.Module):
         t_stride, s_stride = self.stride
         if self.s2d_spatial and s_stride == 2:
             x = SpaceToDepthConv(self.out_planes, k, p, self.dtype,
+                                 in_channels=self.s2d_in_channels,
                                  name="conv1")(x)
         else:
             x = nn.Conv(
@@ -267,10 +293,14 @@ class S3D(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.dtype
         x = x.astype(d)
+        if x.shape[-1] == 4 * self.input_channel:
+            assert self.s2d_stem, (
+                "pre-packed (space-to-depth) input requires s2d_stem=True")
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
         x = STConv3d(64, 7, (t_stride, 2), 3, d, s2d_spatial=self.s2d_stem,
+                     s2d_in_channels=self.input_channel,
                      name="Conv_1a")(x, train)
 
         # block2 (s3dg.py:151-158)

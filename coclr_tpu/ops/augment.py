@@ -121,6 +121,23 @@ def _blur_matrix(size: int, sigma, apply, dtype):
     return jnp.where(apply, k, ident).astype(dtype)
 
 
+def _blur_matrix_rows(rows, size: int, sigma, apply, dtype):
+    """Selected rows of `_blur_matrix(size, ...)` built directly from the row
+    indices (`rows`, int [R]) — bitwise identical to slicing the full matrix
+    (per-row normalization only involves that row), without a strided slice.
+    Used to fold 2x2 space-to-depth phase extraction (and the W-axis flip,
+    via pre-flipped row indices) into the blur matmuls for free."""
+    i = rows.astype(jnp.float32)
+    j = jnp.arange(size, dtype=jnp.float32)
+    d = i[:, None] - j[None, :]
+    r = BLUR_TAPS // 2
+    k = jnp.exp(-0.5 * (d / jnp.maximum(sigma, 1e-6)) ** 2)
+    k = jnp.where(jnp.abs(d) <= r, k, 0.0)
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+    ident = (d == 0).astype(jnp.float32)
+    return jnp.where(apply, k, ident).astype(dtype)
+
+
 def gaussian_blur(x, sigma, apply):
     """Separable Gaussian over H and W as two banded matmuls — 3-channel
     depthwise convs waste the 128-lane MXU; dense [S,S] matmuls saturate it.
@@ -186,10 +203,15 @@ def draw_orders(k_order, m, order_mode: str):
 
 def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
                   dtype=jnp.float32, order_mode: str = "shuffle",
-                  backend: str = "xla", normalize_out: bool = False):
+                  backend: str = "xla", normalize_out: bool = False,
+                  emit_s2d: bool = False):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
     Returns `dtype` in [0,1] ([0,1]-normalized when `normalize_out`), same
-    shape.
+    shape — or, with `emit_s2d`, 2x2 space-to-depth packed
+    [B, n, L, S/2, S/2, 12] (channel (ph*2+pw)*3 + c) for direct consumption
+    by the packed-input stem (backbones/s3d.py SpaceToDepthConv): the phase
+    extraction rides the blur matmuls for free (`_blur_matrix_rows`), so the
+    packed path is bitwise-identical math to packing the unpacked output.
 
     backend='pallas' runs the elementwise chain (u8 decode, jitter, gray,
     normalize) as one fused VMEM-resident TPU kernel
@@ -261,6 +283,25 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
             std=IMAGENET_STD if normalize_out else (1.0, 1.0, 1.0))
         # blur + flip in planar layout, then one transpose back
         x = x.reshape(m, L, C, S1, S2)
+        if emit_s2d:
+            # phase-split blur: rows 2j+ph of the H matrix, (flipped) rows
+            # 2j+pw of the W matrix — 2+4 half/quarter-size matmuls, same
+            # total FLOPs, output already space-to-depth packed
+            pieces = []
+            for ph in (0, 1):
+                rh = jnp.arange(S1 // 2) * 2 + ph
+                wh = jax.vmap(lambda s, a: _blur_matrix_rows(
+                    rh, S1, s, a, dtype))(sigma, do_blur)
+                t = jnp.einsum("mhk,mlckw->mlchw", wh, x)
+                for pw in (0, 1):
+                    rw = jnp.arange(S2 // 2) * 2 + pw
+                    ww = jax.vmap(lambda s, a, f: _blur_matrix_rows(
+                        jnp.where(f, S2 - 1 - rw, rw), S2, s, a, dtype))(
+                            sigma, do_blur, do_flip)
+                    y = jnp.einsum("mwk,mlchk->mlchw", ww, t)
+                    pieces.append(jnp.transpose(y, (0, 1, 3, 4, 2)))
+            x = jnp.concatenate(pieces, axis=-1)
+            return x.reshape(b, n, L, S1 // 2, S2 // 2, 4 * C)
         wh = jax.vmap(lambda s, a: _blur_matrix(S1, s, a, dtype))(sigma, do_blur)
         ww = jax.vmap(lambda s, a: _blur_matrix(S2, s, a, dtype))(sigma, do_blur)
         ww = jnp.where(do_flip[:, None, None], ww[:, ::-1, :], ww)
@@ -303,6 +344,25 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
     # blur + flip as two batched matmuls; the flip is a row reversal of the
     # W-axis matrix
     x = x.reshape(m, L, S1, S2, C)
+    if emit_s2d:
+        pieces = []
+        for ph in (0, 1):
+            rh = jnp.arange(S1 // 2) * 2 + ph
+            wh = jax.vmap(lambda s, a: _blur_matrix_rows(
+                rh, S1, s, a, x.dtype))(sigma, do_blur)
+            t = jnp.einsum("mhk,mlkwc->mlhwc", wh, x)
+            for pw in (0, 1):
+                rw = jnp.arange(S2 // 2) * 2 + pw
+                ww = jax.vmap(lambda s, a, f: _blur_matrix_rows(
+                    jnp.where(f, S2 - 1 - rw, rw), S2, s, a, x.dtype))(
+                        sigma, do_blur, do_flip)
+                pieces.append(jnp.einsum("mwk,mlhkc->mlhwc", ww, t))
+        x = jnp.concatenate(pieces, axis=-1)
+        x = x.reshape(b, n, L, S1 // 2, S2 // 2, 4 * C)
+        if normalize_out:
+            x = normalize(x, mean=IMAGENET_MEAN * 4, std=IMAGENET_STD * 4,
+                          dtype=dtype)
+        return x
     wh = jax.vmap(lambda s, a: _blur_matrix(S1, s, a, x.dtype))(sigma, do_blur)
     ww = jax.vmap(lambda s, a: _blur_matrix(S2, s, a, x.dtype))(sigma, do_blur)
     ww = jnp.where(do_flip[:, None, None], ww[:, ::-1, :], ww)
@@ -337,9 +397,14 @@ def make_pretrain_preprocess(cfg):
     Handles single-stream ('seq') and two-stream ('seq_rgb'+'seq_flow',
     params shared per clip unit by concatenating along the frame axis, the
     reference's doubled-seq_len trick: main_coclr.py:448)."""
+    import os
+
     dtype = cfg.dtype
     order_mode = getattr(cfg, "aug_order", "shuffle")
     backend = getattr(cfg, "aug_backend", "auto")
+    # COCLR_S2D_STEM=2: emit space-to-depth packed clips for the packed-input
+    # stem (no on-device repack conv; see backbones/s3d.SpaceToDepthConv)
+    emit_s2d = os.environ.get("COCLR_S2D_STEM") == "2"
     if backend == "auto":
         import jax as _jax
 
@@ -351,14 +416,15 @@ def make_pretrain_preprocess(cfg):
         if "seq" in batch:
             out["seq"] = augment_clips(
                 batch["seq"], batch["aug_base"], rng, dtype=dtype,
-                order_mode=order_mode, backend=backend, normalize_out=True)
+                order_mode=order_mode, backend=backend, normalize_out=True,
+                emit_s2d=emit_s2d)
         else:
             t = batch["seq_rgb"].shape[2]
             both = jnp.concatenate([batch["seq_rgb"], batch["seq_flow"]],
                                    axis=2)  # [B, 2, 2T, S, S, 3]
             both = augment_clips(both, batch["aug_base"], rng, dtype=dtype,
                                  order_mode=order_mode, backend=backend,
-                                 normalize_out=True)
+                                 normalize_out=True, emit_s2d=emit_s2d)
             out["seq_rgb"], out["seq_flow"] = both[:, :, :t], both[:, :, t:]
         out.pop("aug_base", None)
         return out
