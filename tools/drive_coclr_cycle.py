@@ -43,9 +43,18 @@ EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Loss [\d.]+ "
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
-def run_cli(tag, args_list, cwd, log_dir):
+def run_cli(tag, args_list, cwd, log_dir, done_marker=None):
     os.makedirs(log_dir, exist_ok=True)
     log_file = os.path.join(log_dir, f"{tag}.log")
+    # resume: a phase whose saved log already shows completion is not rerun
+    # (lets an interrupted multi-hour drive restart without repeating
+    # finished phases; epochs may differ across restarts — the log is the
+    # record of what actually ran)
+    if done_marker and os.path.exists(log_file):
+        prev = open(log_file).read()
+        if done_marker in prev:
+            print(f"[drive] {tag}: already complete, skipping", flush=True)
+            return prev, 0.0
     print(f"[drive] {tag}: {' '.join(args_list)}", flush=True)
     t0 = time.time()
     # PREPEND the repo to PYTHONPATH — replacing it would drop site hooks
@@ -149,7 +158,7 @@ def main():
 
     def phase(tag, cli, extra):
         text, wall = run_cli(tag, [os.path.join(REPO, cli)] + extra + common,
-                             wd, log_dir)
+                             wd, log_dir, done_marker="finished")
         report["phases"][tag] = {"wall_min": round(wall / 60, 1),
                                  "epochs": parse_epochs(text)}
         return text
@@ -165,7 +174,7 @@ def main():
                   "--num_devices", str(args.num_devices),
                   "--test", ckpt, "--retrieval",
                   "--dirname", os.path.join(wd, "feat_" + tag)],
-            wd, log_dir)
+            wd, log_dir, done_marker="NN acc")
         report["phases"][tag] = {"wall_min": round(wall / 60, 1),
                                  **parse_retrieval(text)}
 
