@@ -34,6 +34,10 @@ def test_main_nce_cli(staged, tmp_path):
     # point it at the synthetic meta dir like a user would
     link = os.path.join(REPO, "process_data", "data", "ucf101")
     os.makedirs(os.path.dirname(link), exist_ok=True)
+    # the link is a GLOBAL contract (see CLAUDE.md): a concurrent long drive
+    # resolves its split metadata through it, so save and RESTORE any
+    # existing target rather than leaving it deleted
+    prior = os.readlink(link) if os.path.islink(link) else None
     if os.path.islink(link) or os.path.exists(link):
         os.remove(link)
     os.symlink(staged["meta"], link)
@@ -49,6 +53,8 @@ def test_main_nce_cli(staged, tmp_path):
             timeout=900)
     finally:
         os.remove(link)
+        if prior is not None:
+            os.symlink(prior, link)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "Training from ep 0 to ep 1 finished" in res.stdout, \
         res.stdout[-2000:]
