@@ -1,0 +1,65 @@
+"""Drive-report tooling: log parsers and resume markers.
+
+tools/drive_coclr_cycle.py + tools/summarize_coclr_drive.py produce the
+committed learning-dynamics artifact (DRIVE_coclr_cycle.{json,md}); these
+tests pin the progress-line grammar they parse (the meter format of
+train/pretrain.py, mirroring the reference's ProgressMeter lines) so a
+logging change can't silently empty the artifact.
+"""
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+LOG = """\
+Epoch:[0][ 0/17]\tTime 175.2 (175.2)\tData 8.7 (8.7)\tLoss 0.0343 (0.0343)\tacc@1 1.0000 (1.0000)\tacc@5 1.0000 (1.0000)
+Epoch:[0][15/17]\tTime 5.9 (34.4)\tData 0.0 (1.9)\tLoss 5.6321 (4.8561)\tacc@1 0.0312 (0.0898)\tacc@5 0.0625 (0.1387)
+Epoch: [0][17] T-epoch:553.54
+Epoch:[1][15/17]\tTime 4.1 (30.3)\tData 0.0 (4.3)\tLoss 5.6341 (5.6176)\tacc@1 0.0625 (0.0508)\tacc@5 0.1250 (0.1719)\tSelf-acc@1 0.1250 (0.0781)\tSelf-acc@5 0.1250 (0.1615)
+Training from ep 0 to ep 2 finished
+"""
+
+RETR = """\
+1NN acc = 0.4167
+5NN acc = 0.7500
+10NN acc = 1.0000
+"""
+
+
+def test_parse_epochs_takes_epoch_averages():
+    drive = _load("drive_coclr_cycle")
+    eps = drive.parse_epochs(LOG)
+    assert [e["epoch"] for e in eps] == [0, 1]
+    # last progress line of the epoch carries the epoch running average
+    assert eps[0]["loss"] == 4.8561 and eps[0]["acc1"] == 0.0898
+    assert eps[1]["loss"] == 5.6176
+
+
+def test_parse_retrieval():
+    drive = _load("drive_coclr_cycle")
+    got = drive.parse_retrieval(RETR)
+    assert got == {"R@1": 0.4167, "R@5": 0.75, "R@10": 1.0}
+
+
+def test_run_cli_resume_skip(tmp_path):
+    """A phase whose saved log shows completion is not re-run."""
+    drive = _load("drive_coclr_cycle")
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    (log_dir / "ph.log").write_text(LOG)
+    text, wall = drive.run_cli(
+        "ph", ["definitely-no-such-entrypoint.py"], str(tmp_path),
+        str(log_dir), done_marker="finished")
+    assert wall == 0.0 and "finished" in text
