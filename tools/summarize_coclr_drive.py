@@ -58,6 +58,25 @@ def main():
         report["phases"].setdefault(tag, {}).update(
             parse_retrieval(open(path).read()))
 
+    # optional downstream-eval extension: linear probe on a cycle checkpoint
+    # (eval/main_classifier.py --train_what last) + its N-crop TTA test
+    probe = os.path.join(logs, "probe_rgb_coclr.log")
+    if os.path.exists(probe):
+        vals = re.findall(r"val epoch (\d+): loss [\d.]+ top1 ([\d.]+)",
+                          open(probe).read())
+        if vals:
+            report["phases"]["probe_rgb_coclr"] = {
+                "best_val_top1": max(float(v) for _, v in vals),
+                "epochs_run": int(vals[-1][0]) + 1}
+    tencrop = os.path.join(logs, "probe_rgb_coclr_tencrop.log")
+    if os.path.exists(tencrop):
+        means = re.findall(r"Mean: Acc@1: ([\d.]+) Acc@5: ([\d.]+)",
+                           open(tencrop).read())
+        if means:
+            report["phases"].setdefault("probe_rgb_coclr", {}).update(
+                {"tencrop_top1": float(means[-1][0]),
+                 "tencrop_top5": float(means[-1][1])})
+
     with open(prior, "w") as f:
         json.dump(report, f, indent=1)
 
@@ -93,6 +112,17 @@ def main():
         if "R@1" in ph:
             lines.append(f"| {tag.replace('retrieval_', '')} | "
                          f"{ph['R@1']:.3f} | {ph.get('R@5', float('nan')):.3f} |")
+    pr = report["phases"].get("probe_rgb_coclr")
+    if pr and "tencrop_top1" in pr:
+        lines += [
+            "",
+            f"Downstream eval on the CoCLR-RGB checkpoint: linear probe "
+            f"(`--train_what last`, {pr.get('epochs_run', '?')} epochs, "
+            f"frozen backbone) then ten-crop TTA test "
+            f"(`--test ... --ten_crop`): **top-1 "
+            f"{pr['tencrop_top1']:.3f}** (chance {args.chance}), top-5 "
+            f"{pr['tencrop_top5']:.3f}.",
+        ]
     lines += [
         "",
         "Reading the numbers (MoCo/CoCLR dynamics, not anomalies):",
