@@ -58,24 +58,40 @@ def main():
         report["phases"].setdefault(tag, {}).update(
             parse_retrieval(open(path).read()))
 
-    # optional downstream-eval extension: linear probe on a cycle checkpoint
-    # (eval/main_classifier.py --train_what last) + its N-crop TTA test
-    probe = os.path.join(logs, "probe_rgb_coclr.log")
-    if os.path.exists(probe):
-        vals = re.findall(r"val epoch (\d+): loss [\d.]+ top1 ([\d.]+)",
-                          open(probe).read())
-        if vals:
-            report["phases"]["probe_rgb_coclr"] = {
-                "best_val_top1": max(float(v) for _, v in vals),
-                "epochs_run": int(vals[-1][0]) + 1}
-    tencrop = os.path.join(logs, "probe_rgb_coclr_tencrop.log")
-    if os.path.exists(tencrop):
-        means = re.findall(r"Mean: Acc@1: ([\d.]+) Acc@5: ([\d.]+)",
-                           open(tencrop).read())
-        if means:
-            report["phases"].setdefault("probe_rgb_coclr", {}).update(
-                {"tencrop_top1": float(means[-1][0]),
-                 "tencrop_top5": float(means[-1][1])})
+    # optional downstream-eval extension: linear probes on the cycle
+    # checkpoints (eval/main_classifier.py --train_what last), their N-crop
+    # TTA tests, the two-stream fusion, and the feature-space probe
+    for mod in ("rgb", "flow"):
+        probe = os.path.join(logs, f"probe_{mod}_coclr.log")
+        if os.path.exists(probe):
+            vals = re.findall(r"val epoch (\d+): loss [\d.]+ top1 ([\d.]+)",
+                              open(probe).read())
+            if vals:
+                report["phases"][f"probe_{mod}_coclr"] = {
+                    "best_val_top1": max(float(v) for _, v in vals),
+                    "epochs_run": int(vals[-1][0]) + 1}
+        tencrop = os.path.join(logs, f"probe_{mod}_coclr_tencrop.log")
+        if os.path.exists(tencrop):
+            means = re.findall(r"Mean: Acc@1: ([\d.]+) Acc@5: ([\d.]+)",
+                               open(tencrop).read())
+            if means:
+                report["phases"].setdefault(f"probe_{mod}_coclr", {}).update(
+                    {"tencrop_top1": float(means[-1][0]),
+                     "tencrop_top5": float(means[-1][1])})
+    merge = os.path.join(logs, "merge_2stream.log")
+    if os.path.exists(merge):
+        m = re.search(r"merged accuracy: ([\d.]+) \+ ([\d.]+) => ([\d.]+)",
+                      open(merge).read())
+        if m:
+            report["phases"]["merge_2stream"] = {
+                "top1_rgb": float(m.group(1)), "top1_flow": float(m.group(2)),
+                "top1_fused": float(m.group(3))}
+    featp = os.path.join(logs, "feature_probe_rgb.log")
+    if os.path.exists(featp):
+        accs = re.findall(r"Final best acc: ([\d.]+)", open(featp).read())
+        if accs:
+            report["phases"]["feature_probe_rgb"] = {
+                "best_acc": max(float(a) for a in accs)}
 
     with open(prior, "w") as f:
         json.dump(report, f, indent=1)
@@ -122,6 +138,28 @@ def main():
             f"(`--test ... --ten_crop`): **top-1 "
             f"{pr['tencrop_top1']:.3f}** (chance {args.chance}), top-5 "
             f"{pr['tencrop_top5']:.3f}.",
+        ]
+    pf = report["phases"].get("probe_flow_coclr", {})
+    mg = report["phases"].get("merge_2stream")
+    if mg:
+        lines += [
+            "",
+            f"Two-stream fusion (`merge_2stream_prob.py --mode c`) of the "
+            f"ten-crop probs: rgb {mg['top1_rgb']:.3f} + flow "
+            f"{mg['top1_flow']:.3f} → fused {mg['top1_fused']:.3f} — the "
+            f"fusion follows the stronger stream when the other is "
+            f"uninformative (the flow probe sat at chance"
+            + (f"; its best val top1 was {pf['best_val_top1']:.3f}"
+               if "best_val_top1" in pf else "") + ").",
+        ]
+    fp = report["phases"].get("feature_probe_rgb")
+    if fp:
+        lines += [
+            "",
+            f"Feature-space linear probe (`feature_linear_probe.py` on the "
+            f"cached retrieval features): best acc {fp['best_acc']:.3f} at "
+            f"lr 0.1 (the reference's lr 1.0 diverges at this data scale; "
+            f"chance {args.chance}).",
         ]
     lines += [
         "",
