@@ -237,6 +237,10 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
       'fixed'   — b->c->s->h always; cheapest XLA chain, a documented
                   divergence retained as an opt-in."""
     b, n, L, S1, S2, C = seq_u8.shape
+    if emit_s2d:
+        # odd dims would silently drop the last row/column of every frame
+        assert S1 % 2 == 0 and S2 % 2 == 0, \
+            f"emit_s2d requires even spatial dims, got {S1}x{S2}"
     m = b * n
     base = aug_base.reshape(m).astype(jnp.bool_)
     (k_jitp, k_b, k_c, k_s, k_h, k_order, k_gray, k_grayc, k_blur, k_sigma,
@@ -403,8 +407,17 @@ def make_pretrain_preprocess(cfg):
     order_mode = getattr(cfg, "aug_order", "shuffle")
     backend = getattr(cfg, "aug_backend", "auto")
     # COCLR_S2D_STEM=2: emit space-to-depth packed clips for the packed-input
-    # stem (no on-device repack conv; see backbones/s3d.SpaceToDepthConv)
-    emit_s2d = os.environ.get("COCLR_S2D_STEM") == "2"
+    # stem (no on-device repack conv; see backbones/s3d.SpaceToDepthConv).
+    # Only the S3D family has that stem — for other nets the knob is ignored
+    # (emitting packed clips at a Cin=3 conv would die in an opaque XLA
+    # shape error at trace time).
+    emit_s2d = (os.environ.get("COCLR_S2D_STEM") == "2"
+                and getattr(cfg, "net", "s3d") in ("s3d", "s3dg"))
+    if os.environ.get("COCLR_S2D_STEM") == "2" and not emit_s2d:
+        import warnings
+
+        warnings.warn("COCLR_S2D_STEM=2 ignored: net %r has no s2d stem"
+                      % getattr(cfg, "net", None))
     if backend == "auto":
         import jax as _jax
 

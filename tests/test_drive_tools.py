@@ -54,12 +54,25 @@ def test_parse_retrieval():
 
 
 def test_run_cli_resume_skip(tmp_path):
-    """A phase whose saved log shows completion is not re-run."""
+    """A phase whose saved log shows completion is not re-run (wall None
+    marks the resume), but a degenerate 0-progress 'finished' log fails the
+    validator and does rerun."""
     drive = _load("drive_coclr_cycle")
     log_dir = tmp_path / "logs"
     log_dir.mkdir()
     (log_dir / "ph.log").write_text(LOG)
+    ok = lambda t: bool(drive.parse_epochs(t))
     text, wall = drive.run_cli(
         "ph", ["definitely-no-such-entrypoint.py"], str(tmp_path),
-        str(log_dir), done_marker="finished")
-    assert wall == 0.0 and "finished" in text
+        str(log_dir), done_marker="finished", validate=ok)
+    assert wall is None and "finished" in text
+
+    # 0-step phase: "finished" but no progress lines -> must NOT skip
+    (log_dir / "ph0.log").write_text(
+        "Epoch: [0][0] T-epoch:0.00\nTraining from ep 0 to ep 1 finished\n")
+    import pytest
+
+    with pytest.raises(Exception):
+        drive.run_cli("ph0", ["definitely-no-such-entrypoint.py"],
+                      str(tmp_path), str(log_dir), done_marker="finished",
+                      validate=ok)

@@ -43,18 +43,20 @@ EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Loss [\d.]+ "
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
-def run_cli(tag, args_list, cwd, log_dir, done_marker=None):
+def run_cli(tag, args_list, cwd, log_dir, done_marker=None, validate=None):
     os.makedirs(log_dir, exist_ok=True)
     log_file = os.path.join(log_dir, f"{tag}.log")
     # resume: a phase whose saved log already shows completion is not rerun
     # (lets an interrupted multi-hour drive restart without repeating
     # finished phases; epochs may differ across restarts — the log is the
-    # record of what actually ran)
+    # record of what actually ran). `validate` guards against degenerate
+    # completions: a 0-video run still prints "finished" with zero progress
+    # lines (see CLAUDE.md on the split-metadata symlink), and must rerun.
     if done_marker and os.path.exists(log_file):
         prev = open(log_file).read()
-        if done_marker in prev:
+        if done_marker in prev and (validate is None or validate(prev)):
             print(f"[drive] {tag}: already complete, skipping", flush=True)
-            return prev, 0.0
+            return prev, None
     print(f"[drive] {tag}: {' '.join(args_list)}", flush=True)
     t0 = time.time()
     # PREPEND the repo to PYTHONPATH — replacing it would drop site hooks
@@ -95,11 +97,10 @@ def latest_ckpt(workdir, prefix):
     if not pats:
         raise RuntimeError(f"no checkpoint under {workdir}/log-{prefix}*")
 
-    def ep(p):
-        m = re.search(r"epoch(\d+)", os.path.basename(p))
-        return int(m.group(1)) if m else -1
-
-    return max(set(pats), key=ep)
+    # most-recently-written, NOT max epoch number: a relaunch with fewer
+    # epochs must not pick up a stale higher-epoch ckpt from an aborted
+    # earlier launch that shares the exp dir
+    return max(set(pats), key=os.path.getmtime)
 
 
 def main():
@@ -139,13 +140,21 @@ def main():
         os.makedirs(os.path.dirname(db), exist_ok=True)
         os.replace(out["db_path"], db)
         os.replace(out["db_path_flow"], dbf)
+        print(f"[drive] staged at {data_root}", flush=True)
+
+    # (re)point the global split-metadata symlink EVERY launch, not just
+    # when staging: it is a repo-wide contract other workflows also set
+    # (see CLAUDE.md), and a resume that skipped staging with the link
+    # pointing elsewhere joins against the wrong splits -> 0-video phases
+    # that still print "finished"
+    meta_dir = os.path.join(wd, "gen", "meta")
+    if os.path.isdir(meta_dir):
         meta_link = os.path.join(REPO, "process_data", "data", "ucf101")
         os.makedirs(os.path.dirname(meta_link), exist_ok=True)
         if os.path.islink(meta_link):
             os.unlink(meta_link)
         if not os.path.exists(meta_link):
-            os.symlink(out["root"], meta_link)
-        print(f"[drive] staged at {data_root}", flush=True)
+            os.symlink(meta_dir, meta_link)
 
     common = ["--net", "s3d", "--moco-k", str(args.moco_k),
               "--seq_len", str(args.seq_len), "--ds", "1",
@@ -158,9 +167,14 @@ def main():
 
     def phase(tag, cli, extra):
         text, wall = run_cli(tag, [os.path.join(REPO, cli)] + extra + common,
-                             wd, log_dir, done_marker="finished")
-        report["phases"][tag] = {"wall_min": round(wall / 60, 1),
-                                 "epochs": parse_epochs(text)}
+                             wd, log_dir, done_marker="finished",
+                             validate=lambda t: bool(parse_epochs(t)))
+        ph = {"epochs": parse_epochs(text)}
+        if wall is None:
+            ph["resumed"] = True
+        else:
+            ph["wall_min"] = round(wall / 60, 1)
+        report["phases"][tag] = ph
         return text
 
     def retrieval(tag, ckpt, dataset):
@@ -175,8 +189,12 @@ def main():
                   "--test", ckpt, "--retrieval",
                   "--dirname", os.path.join(wd, "feat_" + tag)],
             wd, log_dir, done_marker="NN acc")
-        report["phases"][tag] = {"wall_min": round(wall / 60, 1),
-                                 **parse_retrieval(text)}
+        ph = dict(parse_retrieval(text))
+        if wall is None:
+            ph["resumed"] = True
+        else:
+            ph["wall_min"] = round(wall / 60, 1)
+        report["phases"][tag] = ph
 
     t_start = time.time()
     # 1+2: InfoNCE inits (README.md:28-40)

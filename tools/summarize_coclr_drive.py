@@ -35,8 +35,9 @@ def main():
         report["config"] = old.get("config")
         report["total_wall_min"] = old.get("total_wall_min")
         for tag, ph in old.get("phases", {}).items():
-            if "wall_min" in ph:
-                report["phases"].setdefault(tag, {})["wall_min"] = ph["wall_min"]
+            for k in ("wall_min", "resumed"):
+                if k in ph:
+                    report["phases"].setdefault(tag, {})[k] = ph[k]
 
     import re
     self_re = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Self-acc@1 [\d.]+ "
@@ -109,13 +110,14 @@ def main():
             continue
         first, last = eps[0], eps[-1]
         wall = ph.get("wall_min")
+        resumed = ph.get("resumed") or wall == 0.0  # 0.0 = legacy sentinel
         lines.append(
             f"- **{tag}**: loss {first['loss']:.3f} (ep{first['epoch']}) -> "
             f"{last['loss']:.3f} (ep{last['epoch']}), acc@1 "
             f"{first['acc1']:.3f} -> {last['acc1']:.3f}"
             + (f", Self-acc@1 {ph['self_acc1_final']:.3f} (final ep)"
                if "self_acc1_final" in ph else "")
-            + (", resumed from an earlier launch" if wall == 0.0
+            + (", resumed from an earlier launch" if resumed
                else f", {wall} min" if wall is not None else ""))
     lines.append("")
     lines.append(f"NN retrieval on the held-out group (chance R@1 = "
@@ -139,27 +141,32 @@ def main():
             f"{pr['tencrop_top1']:.3f}** (chance {args.chance}), top-5 "
             f"{pr['tencrop_top5']:.3f}.",
         ]
-    pf = report["phases"].get("probe_flow_coclr", {})
     mg = report["phases"].get("merge_2stream")
     if mg:
+        # keep the commentary conditional on the parsed numbers — this file
+        # regenerates for any drive, not just the one it was written for
+        if mg["top1_fused"] > max(mg["top1_rgb"], mg["top1_flow"]) + 1e-9:
+            note = "the fusion beats both streams"
+        elif min(mg["top1_rgb"], mg["top1_flow"]) <= args.chance + 0.05:
+            note = ("the fusion follows the stronger stream when the other "
+                    "is near chance")
+        else:
+            note = "the fusion tracks the stronger stream"
         lines += [
             "",
             f"Two-stream fusion (`merge_2stream_prob.py --mode c`) of the "
             f"ten-crop probs: rgb {mg['top1_rgb']:.3f} + flow "
-            f"{mg['top1_flow']:.3f} → fused {mg['top1_fused']:.3f} — the "
-            f"fusion follows the stronger stream when the other is "
-            f"uninformative (the flow probe sat at chance"
-            + (f"; its best val top1 was {pf['best_val_top1']:.3f}"
-               if "best_val_top1" in pf else "") + ").",
+            f"{mg['top1_flow']:.3f} → fused {mg['top1_fused']:.3f} — "
+            f"{note}.",
         ]
     fp = report["phases"].get("feature_probe_rgb")
     if fp:
         lines += [
             "",
             f"Feature-space linear probe (`feature_linear_probe.py` on the "
-            f"cached retrieval features): best acc {fp['best_acc']:.3f} at "
-            f"lr 0.1 (the reference's lr 1.0 diverges at this data scale; "
-            f"chance {args.chance}).",
+            f"cached retrieval features): best acc {fp['best_acc']:.3f} "
+            f"(chance {args.chance}; lr sweep in "
+            f"drivelogs/feature_probe_rgb.log).",
         ]
     lines += [
         "",
@@ -174,10 +181,10 @@ def main():
         "  `--reverse`) — the reference's central claim (README.md:148-156:",
         "  CoCLR-RGB 51.8 vs InfoNCE-RGB 33.1 NN@1) reproduced in shape.",
         "- Self-acc (top-1 == the sibling clip, main_coclr.py:348-359) is",
-        "  structurally tiny on 4-class synthetic data: features cluster by",
-        "  class so the top-1 key is a near-tie among ~500 same-class queue",
-        "  entries; it turning nonzero late in each CoCLR phase still shows",
-        "  the mined-positive objective sharpening instance identity.",
+        "  structurally tiny on few-class synthetic data: features cluster",
+        "  by class so the top-1 key is a near-tie among the many same-class",
+        "  queue entries; it turning nonzero late in each CoCLR phase still",
+        "  shows the mined-positive objective sharpening instance identity.",
     ]
     out_md = os.path.join(REPO, "DRIVE_coclr_cycle.md")
     with open(out_md, "w") as f:
