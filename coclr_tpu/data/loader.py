@@ -53,7 +53,16 @@ def _sample_layout(sample: Dict[str, np.ndarray]):
 
 def _pack_sample(sample, layout, buf: memoryview):
     for key, (off, shape, dtype) in layout.items():
-        arr = np.ascontiguousarray(np.asarray(sample[key]))
+        arr = np.asarray(sample[key])  # validate BEFORE ascontiguousarray
+        if arr.shape != tuple(shape) or arr.dtype.str != dtype:  # (it promotes 0-d to (1,))
+            # variable-shaped dataset (e.g. window-mode eval: per-video
+            # [n_windows, ...]) — shared-memory slots are fixed-size
+            raise ValueError(
+                f"sample field {key!r} has shape {arr.shape}/{arr.dtype} but "
+                f"the shared-memory slot layout was sized for {shape}/{dtype};"
+                " worker_mode='process' requires fixed-shape samples — use "
+                "worker_mode='thread' for variable-shaped datasets")
+        arr = np.ascontiguousarray(arr)
         n = arr.nbytes
         buf[off:off + n] = arr.view(np.uint8).reshape(-1).data
 
@@ -114,6 +123,19 @@ class _ProcessPool:
     def __init__(self, dataset, num_workers: int, n_slots: int):
         probe = dataset[0]  # also warms metadata before the fork
         self.layout, self.slot_bytes = _sample_layout(probe)
+        # guard against variable-shaped datasets (window-mode eval returns
+        # [n_windows, ...] per video): slots are fixed-size, so a drifting
+        # shape would corrupt or crash opaquely mid-epoch. Probe a couple of
+        # other indices up front to fail fast; _pack_sample re-validates
+        # every sample in the workers as the complete guard.
+        for probe_idx in {len(dataset) // 2, len(dataset) - 1} - {0}:
+            other_layout, _ = _sample_layout(dataset[probe_idx])
+            if other_layout != self.layout:
+                raise ValueError(
+                    f"dataset samples are not fixed-shape (index 0 -> "
+                    f"{self.layout}, index {probe_idx} -> {other_layout}); "
+                    "worker_mode='process' stages samples in fixed-size "
+                    "shared-memory slots — use worker_mode='thread' instead")
         self.n_slots = n_slots
         ctx = mp.get_context("fork")  # LMDB mmaps/handles are inherited r/o
         self.shm = shared_memory.SharedMemory(
@@ -257,11 +279,24 @@ class Loader:
         dispatched = 0
 
         def recv(block: bool):
-            """Take one result; reclaim slots of stale-generation results."""
-            try:
-                rgen, rpos, slot, err = pool.res_q.get(block=block)
-            except queue.Empty:
-                return False
+            """Take one result; reclaim slots of stale-generation results.
+            Blocking waits poll with a timeout and check worker liveness, so
+            a worker killed without posting (OOM, native crash) raises
+            instead of hanging the parent forever."""
+            while True:
+                try:
+                    rgen, rpos, slot, err = pool.res_q.get(
+                        block=block, timeout=5.0 if block else None)
+                    break
+                except queue.Empty:
+                    if not block:
+                        return False
+                    dead = [p.pid for p in pool.procs if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker process(es) {dead} died without "
+                            "posting a result (OOM kill or a crash in the "
+                            "native decode plane)")
             if rgen != gen:  # abandoned earlier iterator's in-flight work
                 pool.free.append(slot)
                 return True
@@ -272,15 +307,24 @@ class Loader:
             ready[rpos] = slot
             return True
 
-        def dispatch():
+        def dispatch_pending():
+            # enqueue work for every free slot WITHOUT draining the result
+            # queue — callable from the blocking wait loop below, where a
+            # reclaimed stale slot must be re-dispatched immediately or a
+            # starved first batch deadlocks (an abandoned mid-epoch iterator
+            # leaves its tasks in flight; run_pretrain's max_steps break does
+            # this every epoch)
             nonlocal dispatched
-            while recv(block=False):  # reclaim any stale slots first
-                pass
             while dispatched < total and pool.free:
                 slot = pool.free.pop()
                 pool.idx_q.put((gen, dispatched, int(order[dispatched]),
                                 self.epoch, slot))
                 dispatched += 1
+
+        def dispatch():
+            while recv(block=False):  # reclaim any stale slots first
+                pass
+            dispatch_pending()
 
         dispatch()
         for bi in range(nb):
@@ -290,6 +334,7 @@ class Loader:
                              (bi + 1) * self.batch_size):
                 while pos not in ready:
                     recv(block=True)
+                    dispatch_pending()
                 slot = ready.pop(pos)
                 samples.append(_unpack_sample(pool.layout,
                                               pool.slot_view(slot)))
