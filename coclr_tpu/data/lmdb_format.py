@@ -38,8 +38,11 @@ P_BRANCH = 0x01
 P_LEAF = 0x02
 P_OVERFLOW = 0x04
 P_META = 0x08
+P_LEAF2 = 0x20   # MDB_DUPFIXED sub-layout — never produced by the reference
 
 F_BIGDATA = 0x01
+F_SUBDATA = 0x02  # DUPSORT sub-database node
+F_DUPDATA = 0x04  # DUPSORT duplicate-list node
 
 PAGEHDRSZ = 16
 P_INVALID = 0xFFFFFFFFFFFFFFFF
@@ -120,6 +123,15 @@ class LMDBReader:
         return lo, hi, fl, ksize, key, noff
 
     def _leaf_value(self, lo, hi, fl, ksize, noff) -> bytes:
+        if fl & (F_SUBDATA | F_DUPDATA):
+            # loud failure beats silent misparse: a DUPSORT database stores
+            # sub-pages/sub-trees in the data area, which this reader (like
+            # the reference's datasets, plain MDB_create puts only —
+            # convert_video_to_lmdb.py:50-57) never needs
+            raise ValueError(
+                f"{self.path}: DUPSORT node (flags {fl:#x}) — not a "
+                "reference-style dataset; this reader supports plain "
+                "key/value databases only")
         dsize = lo | (hi << 16)
         if fl & F_BIGDATA:
             ovpgno = struct.unpack_from("<Q", self._mm, noff + 8 + ksize)[0]
@@ -153,6 +165,10 @@ class LMDBReader:
                 lo, hi, fl, _, _, _ = self._node(off, pick)
                 pgno = lo | (hi << 16) | (fl << 32)
             elif flags & P_LEAF:
+                if flags & P_LEAF2:
+                    raise ValueError(
+                        f"{self.path}: LEAF2 (MDB_DUPFIXED) page — not a "
+                        "reference-style dataset")
                 lor, hir = 0, n - 1
                 while lor <= hir:
                     mid = (lor + hir) // 2
@@ -182,6 +198,10 @@ class LMDBReader:
                 lo, hi, fl, _, _, _ = self._node(off, i)
                 stack.append((lo | (hi << 16) | (fl << 32), 0))
             else:
+                if flags & P_LEAF2:
+                    raise ValueError(
+                        f"{self.path}: LEAF2 (MDB_DUPFIXED) page — not a "
+                        "reference-style dataset")
                 for j in range(n):
                     lo, hi, fl, ksize, k, noff = self._node(off, j)
                     yield k, self._leaf_value(lo, hi, fl, ksize, noff)

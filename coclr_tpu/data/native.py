@@ -113,7 +113,11 @@ class NativeLMDB:
         out_len = ctypes.c_uint64()
         hit = self._lib.cdp_get(self._env, key, len(key),
                                 ctypes.byref(out), ctypes.byref(out_len))
-        if not hit:
+        if hit < 0:
+            raise ValueError(
+                "unsupported LMDB layout (DUPSORT/LEAF2) — not a "
+                "reference-style dataset")
+        if hit == 0:
             return None
         return ctypes.string_at(out.value, out_len.value)
 
@@ -123,7 +127,11 @@ class NativeLMDB:
         out_len = ctypes.c_uint64()
         hit = self._lib.cdp_get(self._env, key, len(key),
                                 ctypes.byref(out), ctypes.byref(out_len))
-        if not hit:
+        if hit < 0:
+            raise ValueError(
+                "unsupported LMDB layout (DUPSORT/LEAF2) — not a "
+                "reference-style dataset")
+        if hit == 0:
             return None
         return out.value, out_len.value
 

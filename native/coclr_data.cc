@@ -39,8 +39,8 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static const uint32_t kMagic = 0xBEEFC0DE;
-static const uint16_t kPBranch = 0x01, kPLeaf = 0x02;
-static const uint16_t kFBigData = 0x01;
+static const uint16_t kPBranch = 0x01, kPLeaf = 0x02, kPLeaf2 = 0x20;
+static const uint16_t kFBigData = 0x01, kFSubData = 0x02, kFDupData = 0x04;
 static const size_t kPageHdr = 16;
 static const uint64_t kPInvalid = ~0ULL;
 
@@ -66,8 +66,7 @@ static MetaView read_meta(const uint8_t* base, uint64_t off) {
   MetaView m{0, 0, 0, 0, false};
   const uint8_t* p = base + off + kPageHdr;
   if (rd32(p) != kMagic || rd32(p + 4) != 1) return m;
-  m.psize = rd64(p + 24);  // dbs[0].md_pad (u32) — stored as first 4 bytes
-  m.psize = rd32(p + 24);
+  m.psize = rd32(p + 24);  // dbs[0].md_pad carries the page size
   // dbs layout: pad(4) flags(2) depth(2) branch(8) leaf(8) ovf(8) entries(8)
   // root(8) => 48 bytes each; main db at +24+48
   const uint8_t* main_db = p + 24 + 48;
@@ -114,7 +113,10 @@ void cdp_close(CdpEnv* env) {
 
 uint64_t cdp_entries(CdpEnv* env) { return env ? env->entries : 0; }
 
-// returns 1 on hit; *out/*out_len point into the mmap (zero copy)
+// returns 1 on hit, 0 on miss, -1 on an unsupported DUPSORT/LEAF2 layout
+// (the reference's datasets are plain put-only databases,
+// convert_video_to_lmdb.py:50-57 — misparsing those layouts silently
+// would be worse than failing); *out/*out_len point into the mmap
 int cdp_get(CdpEnv* env, const uint8_t* key, uint32_t key_len,
             const uint8_t** out, uint64_t* out_len) {
   if (!env || env->root == kPInvalid) return 0;
@@ -137,6 +139,7 @@ int cdp_get(CdpEnv* env, const uint8_t* key, uint32_t key_len,
       pgno = (uint64_t)rd16(node) | ((uint64_t)rd16(node + 2) << 16) |
              ((uint64_t)rd16(node + 4) << 32);
     } else if (flags & kPLeaf) {
+      if (flags & kPLeaf2) return -1;
       int lo = 0, hi = n - 1;
       while (lo <= hi) {
         int mid = (lo + hi) / 2;
@@ -145,6 +148,7 @@ int cdp_get(CdpEnv* env, const uint8_t* key, uint32_t key_len,
         int c = memcmp(node + 8, key, std::min<uint32_t>(ks, key_len));
         if (c == 0) c = (ks > key_len) - (ks < key_len);
         if (c == 0) {
+          if (rd16(node + 4) & (kFSubData | kFDupData)) return -1;
           uint64_t dsize = (uint64_t)rd16(node) | ((uint64_t)rd16(node + 2) << 16);
           if (rd16(node + 4) & kFBigData) {
             uint64_t ov = rd64(node + 8 + ks);
