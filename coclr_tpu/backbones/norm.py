@@ -1,9 +1,12 @@
 """BatchNorm + ReLU tuned for HBM-bound TPU training.
 
 Semantics parity: torch nn.BatchNorm3d as used by the reference backbones
-(/root/reference/backbone/s3dg.py:15-22, resnet_2d3d.py:59-66) == flax
-nn.BatchNorm(momentum=0.9, eps=1e-5): per-channel batch statistics in
-training, running-average statistics in eval, gamma/beta affine.
+(/root/reference/backbone/s3dg.py:15-22, resnet_2d3d.py:59-66): per-channel
+batch statistics in training, running-average statistics in eval, gamma/beta
+affine, and — unlike flax nn.BatchNorm — the torch running-var convention
+(running_var accumulates the UNBIASED n/(n-1) batch variance while the
+normalization itself uses the biased one), so post-training running stats
+match reference checkpoints exactly (asserted by tests/test_model_parity.py).
 
 Why not flax nn.BatchNorm(dtype=float32): under `jax.grad`, its unfused
 normalize chain makes float32 activation-sized intermediates (x_hat, the
@@ -147,10 +150,16 @@ class FoldedBatchNorm(nn.Module):
         else:
             mean, var = _batch_stats(x)
             if not self.is_initializing():
+                # torch nn.BatchNorm running-var update uses the UNBIASED
+                # n/(n-1) estimator (normalization itself uses the biased
+                # one) — flax uses biased for both; torch semantics are kept
+                # here for eval-mode parity with reference checkpoints.
+                n = x.size // c
+                corr = n / max(n - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * var * corr)
 
         s = scale * jax.lax.rsqrt(var + self.epsilon)
         o = bias - mean * s

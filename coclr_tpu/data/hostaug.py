@@ -132,7 +132,15 @@ class PretrainClipPolicy:
 class EvalClipPolicy:
     """Eval-side host crops (eval/main_classifier.py:729-744, test_10crop
     :456-469): consistent RandomSizedCrop(224)+Scale for train/val, or
-    FiveCrop(224)+Scale for N-crop testing."""
+    FiveCrop(224)+Scale for N-crop testing.
+
+    Deliberate divergence (documented, DESIGN.md "Augmentation"): the
+    reference resamples TWICE — RandomSizedCrop resizes the crop to 224,
+    then Scale(img_dim) resizes again (two bicubic passes). Here the crop
+    rect is resized directly to img_dim in ONE bicubic pass: same geometry,
+    slightly sharper pixels (no intermediate 224 grid). This is a small
+    numeric difference on every eval input; it matters only when chasing
+    bit-level agreement with released-weight eval numbers."""
 
     def __init__(self, img_dim: int = 128, mode: str = "train",
                  crop_where: Optional[int] = None, bottom_area: float = 0.2,

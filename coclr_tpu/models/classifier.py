@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from coclr_tpu.backbones import select_backbone
+from coclr_tpu.backbones.norm import FoldedBatchNorm
 
 
 class LinearClassifier(nn.Module):
@@ -26,9 +27,10 @@ class LinearClassifier(nn.Module):
     def setup(self):
         self.backbone, self.param = select_backbone(self.network, dtype=self.dtype)
         if self.use_final_bn:
-            # torch BatchNorm1d defaults; gamma=1 beta=0 (classifier.py:33-36)
-            self.final_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                                         dtype=jnp.float32, name="final_bn")
+            # torch BatchNorm1d semantics incl. the unbiased running-var
+            # update; gamma=1 beta=0 (classifier.py:33-36)
+            self.final_bn = FoldedBatchNorm(dtype=jnp.float32,
+                                            name="final_bn")
         self.final_fc = nn.Dense(
             self.num_class,
             kernel_init=nn.initializers.normal(stddev=0.01),

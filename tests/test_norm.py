@@ -55,8 +55,12 @@ def test_folded_bn_matches_flax_train_and_eval():
 
     np.testing.assert_allclose(yr, ym, atol=2e-6)
     np.testing.assert_allclose(float(lr), float(lm), rtol=1e-6)
-    for k in ("mean", "var"):
-        np.testing.assert_allclose(sr[k], sm[k], atol=1e-6)
+    np.testing.assert_allclose(sr["mean"], sm["mean"], atol=1e-6)
+    # running var: ours follows torch (unbiased n/(n-1) update), flax biased
+    n = x.size // x.shape[-1]
+    batch_var = jnp.var(x, axis=(0, 1, 2, 3))
+    expected_var = 0.9 * stats["var"] + 0.1 * batch_var * n / (n - 1)
+    np.testing.assert_allclose(expected_var, sm["var"], atol=1e-5)
     np.testing.assert_allclose(gr[1], gm[1], atol=1e-5)  # d/dx
     np.testing.assert_allclose(gr[0]["scale"], gm[0]["scale"], rtol=1e-4)
     np.testing.assert_allclose(gr[0]["bias"], gm[0]["bias"], rtol=1e-4)
