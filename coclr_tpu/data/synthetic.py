@@ -60,7 +60,13 @@ def render_learnable_video(class_id: int, n_classes: int,
     The 'flow' modality shares the class speed (so a flow-trained sampler
     ranks same-class entries high — the CoCLR mining premise) at a different
     spatial wavelength and a fixed gray-ish tint, mimicking how optical-flow
-    JPEGs look nothing like RGB yet share the semantics.
+    JPEGs look nothing like RGB yet share the semantics. Its grating is
+    COARSER and cleaner than RGB's (real TVL1 flow maps are smooth,
+    low-texture images): the round-2 cycle drive showed a 6-px flow grating
+    under the same 0.10 noise loses its phase code to JPEG quantization
+    (~1.3 cycles per 8x8 DCT block) + the crop-resize chain, leaving flow
+    retrieval at chance (VERDICT-r2 weak #1); 14 px with lighter noise
+    carries the same rad/frame code robustly.
     """
     h, w = size
     # class-banded drift speed (rad/frame), instance-jittered within band;
@@ -70,13 +76,18 @@ def render_learnable_video(class_id: int, n_classes: int,
     sign = 1.0 if rng.rand() < 0.5 else -1.0
     theta0 = rng.uniform(0, np.pi)
     rot = 0.12 * (1.0 if rng.rand() < 0.5 else -1.0)  # orientation rad/frame
-    lam = 9.0 if modality == "rgb" else 6.0           # wavelength in px
+    lam = 9.0 if modality == "rgb" else 14.0          # wavelength in px
     phase = rng.uniform(0, 2 * np.pi)
     # tint/contrast are FIXED, not instance-random: any stable appearance
     # nuisance becomes an instance-discrimination shortcut that lets the
     # model skip learning the class-correlated speed code
     tint = np.asarray([0.8, 0.8, 0.8])
-    contrast = 0.45
+    # noise stays at RGB strength for flow too: a cleaner grating's
+    # temporal mean is class-correlated (sinc(omega*T/2) attenuation) and
+    # linearly exposed to random-init conv features — measured: 0.06 noise
+    # put UNTRAINED flow retrieval at 0.44, erasing the learning signal
+    contrast = 0.45 if modality == "rgb" else 0.50
+    noise = 0.10
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     t = np.arange(n_frames, dtype=np.float32)[:, None, None]
@@ -86,7 +97,7 @@ def render_learnable_video(class_id: int, n_classes: int,
     img = 0.5 + contrast * wave                       # [T, H, W] in (0,1)
     vid = img[..., None] * tint[None, None, None, :]
     # strong per-frame noise: a nuisance (not a stable instance identity)
-    vid = vid + rng.normal(0, 0.10, size=vid.shape)
+    vid = vid + rng.normal(0, noise, size=vid.shape)
     return np.clip(vid * 255.0, 0, 255).astype(np.uint8)
 
 
