@@ -86,6 +86,25 @@ def crop_resize(frame: np.ndarray, rect, out_size: int) -> np.ndarray:
     return cv2.resize(patch, (out_size, out_size), interpolation=cv2.INTER_CUBIC)
 
 
+def crop_resize_double(frame: np.ndarray, rect, mid_size: int,
+                       out_size: int) -> np.ndarray:
+    """crop -> resize(mid_size) -> resize(out_size), both bicubic: the
+    reference eval chain RandomSizedCrop(224) + Scale(img_dim) resamples
+    TWICE (eval/main_classifier.py:729-744; augmentation.py:91,120 + :22,42).
+    A patch already at mid_size (the FiveCrop path, where the crop IS
+    224x224) skips the intermediate pass, like the reference where FiveCrop
+    crops without resizing and only Scale resamples."""
+    x, y, w, h = rect
+    patch = frame[y:y + h, x:x + w]
+    if patch.shape[0] != mid_size or patch.shape[1] != mid_size:
+        patch = cv2.resize(patch, (mid_size, mid_size),
+                           interpolation=cv2.INTER_CUBIC)
+    if patch.shape[0] != out_size or patch.shape[1] != out_size:
+        patch = cv2.resize(patch, (out_size, out_size),
+                           interpolation=cv2.INTER_CUBIC)
+    return patch
+
+
 class PretrainClipPolicy:
     """TwoClip / OneClip / 50-50 controller + per-clip RandomSizedCrop.
 
@@ -134,13 +153,14 @@ class EvalClipPolicy:
     :456-469): consistent RandomSizedCrop(224)+Scale for train/val, or
     FiveCrop(224)+Scale for N-crop testing.
 
-    Deliberate divergence (documented, DESIGN.md "Augmentation"): the
-    reference resamples TWICE — RandomSizedCrop resizes the crop to 224,
-    then Scale(img_dim) resizes again (two bicubic passes). Here the crop
-    rect is resized directly to img_dim in ONE bicubic pass: same geometry,
-    slightly sharper pixels (no intermediate 224 grid). This is a small
-    numeric difference on every eval input; it matters only when chasing
-    bit-level agreement with released-weight eval numbers."""
+    Resampling parity: the reference resamples TWICE on the random-sized
+    path — RandomSizedCrop resizes the crop to 224, then Scale(img_dim)
+    resizes again (two bicubic passes) — and once on the FiveCrop path
+    (the crop is already 224x224, only Scale resamples). Both chains are
+    reproduced via crop_resize_double (was a documented single-pass
+    divergence through round 2); the remaining pixel-level delta vs the
+    reference is the repo-wide cv2-INTER_CUBIC-for-PIL-BICUBIC stand-in
+    (DESIGN.md "Augmentation")."""
 
     def __init__(self, img_dim: int = 128, mode: str = "train",
                  crop_where: Optional[int] = None, bottom_area: float = 0.2,
@@ -166,5 +186,6 @@ class EvalClipPolicy:
     def crop_clip(self, rng, frames: List[np.ndarray]) -> np.ndarray:
         h_img, w_img = frames[0].shape[:2]
         rect = self.sample_rect(rng, w_img, h_img)
-        return self.post(
-            np.stack([crop_resize(f, rect, self.img_dim) for f in frames]))
+        cs = min(self.crop_size, h_img, w_img)
+        return self.post(np.stack(
+            [crop_resize_double(f, rect, cs, self.img_dim) for f in frames]))

@@ -196,3 +196,41 @@ def test_ncrop_and_merge(synth, tmp_path):
         retrieval.save_feature_cache(d2, "ucf101-f", split, f, l, v)
     res = merge.merge_sim(d1, d2, "ucf101")
     assert set(res) == {1, 5, 10, 20, 50}
+
+
+def test_eval_crop_double_resample():
+    """EvalClipPolicy reproduces the reference's two-pass eval resampling
+    (RandomSizedCrop -> 224 intermediate -> Scale(img_dim), both bicubic,
+    eval/main_classifier.py:729-744); the FiveCrop path resamples once
+    (the 224x224 crop is not resized by FiveCrop, only Scale)."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (300, 340, 3), np.uint8)
+
+    # random-sized path: crop rect != crop_size -> two passes
+    rect = (10, 20, 200, 260)  # x, y, w, h
+    x, y, w, h = rect
+    img_dim, cs = 128, 224
+    got = hostaug.crop_resize_double(frame, rect, cs, img_dim)
+    mid = cv2.resize(frame[y:y + h, x:x + w], (cs, cs),
+                     interpolation=cv2.INTER_CUBIC)
+    want = cv2.resize(mid, (img_dim, img_dim),
+                      interpolation=cv2.INTER_CUBIC)
+    np.testing.assert_array_equal(got, want)
+    single = cv2.resize(frame[y:y + h, x:x + w], (img_dim, img_dim),
+                        interpolation=cv2.INTER_CUBIC)
+    assert np.abs(got.astype(int) - single.astype(int)).max() > 0
+
+    # five-crop path: patch already crop_size x crop_size -> ONE pass
+    rect224 = (5, 7, 224, 224)
+    got5 = hostaug.crop_resize_double(frame, rect224, cs, img_dim)
+    want5 = cv2.resize(frame[7:7 + 224, 5:5 + 224], (img_dim, img_dim),
+                       interpolation=cv2.INTER_CUBIC)
+    np.testing.assert_array_equal(got5, want5)
+
+    # policy plumbs the chain (mode='val' random-sized path)
+    policy = hostaug.EvalClipPolicy(img_dim=64, mode="val", crop_size=128)
+    clip = policy.crop_clip(np.random.RandomState(3), [frame, frame])
+    assert clip.shape == (2, 64, 64, 3)
+    np.testing.assert_array_equal(clip[0], clip[1])  # consistent crop
