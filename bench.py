@@ -1,30 +1,46 @@
-"""Benchmark: clips/sec/chip for the S3D InfoNCE pretrain step.
+"""Benchmark: clips/sec/chip for the coclr_tpu training and eval workloads.
 
-The reference's defining workload (BASELINE.md): S3D, seq_len 32, per-device
+Default (no args — the driver contract): the S3D InfoNCE pretrain step, the
+reference's defining workload (BASELINE.md): S3D, seq_len 32, per-device
 batch 32 (= 64 clips/step), moco-k 2048, 128x128 crops, Adam — the full
 fused step including on-device augmentation, EMA, shuffle-BN path, logits,
 backward, optimizer and queue update.
+
+Additional workloads (VERDICT-r2 ask #4, recorded in BASELINE.md):
+  --workload coclr      the CoCLR co-training step (reference
+                        main_coclr.py:372-423): 3rd encoder forward on the
+                        other modality + top-k mining + double enqueue.
+  --workload retrieval  eval-mode feature extraction as the NN-retrieval /
+                        feature-probe pipelines run it (eval/main_classifier
+                        .py 'extract' path: forward through ColorJitter).
+  --workload ncrop      eval-mode classifier logits as the ten-crop TTA
+                        consumes them (one crop == one clip here).
 
 Prints ONE JSON line. `vs_baseline` is measured against an estimated
 55 clips/sec/chip for the reference PyTorch stack on one V100 (the 2-GPU DDP
 config in README.md:28-32; no published throughput exists — see BASELINE.md —
 so this is a documented engineering estimate: S3D fwd+bwd ~= 3 x 39 GFLOP x
-64 clips at ~35% V100 fp32 utilization plus dataloader overhead).
+64 clips at ~35% V100 fp32 utilization plus dataloader overhead). The other
+workloads' baselines derive from the same estimate by compute-cost model
+(units of S3D forward, bwd = 2 fwd): InfoNCE step = q-fwd + k-fwd + bwd = 4;
+CoCLR = + sampler fwd = 5; eval forward = 1.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 55.0
+# compute-cost model in S3D-forward units (backward ~= 2 forwards)
+_COST_UNITS = {"infonce": 4.0, "coclr": 5.0, "retrieval": 1.0, "ncrop": 1.0}
 
 
-def main():
+def _setup_jax():
     import os
 
     import jax
-    import jax.numpy as jnp
 
     # persistent compilation cache: the fused step is a ~10-minute first
     # compile on the axon remote compiler; repeat runs are seconds
@@ -35,6 +51,37 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    return jax
+
+
+def _time_windows(run_step, n_windows=3, n_steps=15):
+    """Median over windows of per-step seconds. run_step(i) must END with a
+    device->host VALUE fetch: on tunneled backends block_until_ready alone
+    can return before the execution stream drains."""
+    windows = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            run_step(w * 50 + i)
+        windows.append((time.perf_counter() - t0) / n_steps)
+    return float(np.median(windows))
+
+
+def _with_oom_fallback(build, batch_size=32):
+    while batch_size >= 4:
+        try:
+            return batch_size, build(batch_size)
+        except Exception as e:  # OOM fallback
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                batch_size //= 2
+                continue
+            raise
+    raise RuntimeError("could not fit any batch size")
+
+
+def bench_pretrain(variant: str):
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from coclr_tpu.config import PretrainConfig
     from coclr_tpu.models import moco
@@ -42,22 +89,22 @@ def main():
     from coclr_tpu.ops.augment import make_pretrain_preprocess
     from coclr_tpu.parallel import make_pretrain_step
 
-    n_dev = len(jax.devices())
     T, S = 32, 128
 
     def build(batch_size):
-        cfg = PretrainConfig(net="s3d", model="infonce", seq_len=T,
+        cfg = PretrainConfig(net="s3d", model=variant, seq_len=T,
                              img_dim=S, batch_size=batch_size, moco_k=2048,
-                             compute_dtype="bfloat16", bn_shuffle="gather")
+                             compute_dtype="bfloat16", bn_shuffle="gather",
+                             topk=5)
         encoder = ProjectionEncoder(network="s3d", dim=cfg.moco_dim,
                                     dtype=cfg.dtype)
         sample = jnp.zeros((1, T, S, S, 3), jnp.float32)
         state = moco.init_moco_state(jax.random.PRNGKey(0), encoder,
-                                     "infonce", sample, dim=cfg.moco_dim,
+                                     variant, sample, dim=cfg.moco_dim,
                                      K=cfg.moco_k)
-        step_fn, tx = make_pretrain_step(encoder, cfg, mesh=None,
-                                         preprocess_fn=make_pretrain_preprocess(cfg),
-                                         donate=True)
+        step_fn, tx = make_pretrain_step(
+            encoder, cfg, mesh=None,
+            preprocess_fn=make_pretrain_preprocess(cfg), donate=True)
         opt_state = jax.jit(tx.init)(state.params_q)
         rng = np.random.RandomState(0)
         # device-resident batch: this bench measures the training step
@@ -65,61 +112,166 @@ def main():
         # step in the real loader; on this axon dev tunnel H2D is ~35MB/s
         # (a tunnel artifact, not representative of a TPU host's DMA).
         batch = {
-            "seq": jnp.asarray(
-                rng.randint(0, 255, (batch_size, 2, T, S, S, 3), np.uint8)),
             "aug_base": jnp.asarray(rng.randint(0, 2, (batch_size, 2))
                                     .astype(np.uint8)),
             "label": jnp.asarray(rng.randint(0, 101, (batch_size,))
                                  .astype(np.int32)),
         }
-        return cfg, step_fn, state, opt_state, batch
+        if variant == "coclr":
+            for key in ("seq_rgb", "seq_flow"):
+                batch[key] = jnp.asarray(rng.randint(
+                    0, 255, (batch_size, 2, T, S, S, 3), np.uint8))
+            batch["vname"] = jnp.asarray(
+                rng.randint(0, 9999, (batch_size,)).astype(np.int32))
+        else:
+            batch["seq"] = jnp.asarray(rng.randint(
+                0, 255, (batch_size, 2, T, S, S, 3), np.uint8))
 
-    batch_size = 32
-    while batch_size >= 4:
-        try:
-            cfg, step_fn, state, opt_state, batch = build(batch_size)
-            # warmup / compile; end with a VALUE fetch — on tunneled
-            # backends block_until_ready returns before the stream drains,
-            # which would push compile/queue time into the timed region
-            for i in range(3):
-                state, opt_state, metrics = step_fn(
-                    state, opt_state, batch, jax.random.PRNGKey(i),
-                    jnp.float32(1e-3))
-            assert np.isfinite(float(metrics["loss"]))
-            break
-        except Exception as e:  # OOM fallback
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-                batch_size //= 2
-                continue
-            raise
-    else:
-        raise RuntimeError("could not fit any batch size")
-
-    # median of 3 timing windows: single-window run-to-run spread on the
-    # axon tunnel measured ~1.3%; the median tightens that without
-    # changing what is measured
-    windows = []
-    for w in range(3):
-        n_steps = 15
-        t0 = time.perf_counter()
-        for i in range(n_steps):
+        # warmup / compile; ends with a VALUE fetch (see _time_windows)
+        for i in range(3):
             state, opt_state, metrics = step_fn(
-                state, opt_state, batch,
-                jax.random.PRNGKey(100 + 50 * w + i), jnp.float32(1e-3))
-        # device->host value fetch: on tunneled backends block_until_ready
-        # alone can return before the execution stream drains
+                state, opt_state, batch, jax.random.PRNGKey(i),
+                jnp.float32(1e-3))
         assert np.isfinite(float(metrics["loss"]))
-        windows.append((time.perf_counter() - t0) / n_steps)
-    dt = float(np.median(windows))
+        return step_fn, state, opt_state, batch
 
-    clips_per_sec_per_chip = (batch_size * 2) / dt  # 2 clips per sample
+    batch_size, (step_fn, state, opt_state, batch) = _with_oom_fallback(build)
+
+    box = [state, opt_state]
+
+    def run(i):
+        box[0], box[1], metrics = step_fn(box[0], box[1], batch,
+                                          jax.random.PRNGKey(100 + i),
+                                          jnp.float32(1e-3))
+        assert np.isfinite(float(metrics["loss"]))
+
+    dt = _time_windows(run)
+    clips = batch_size * 2  # 2 clips per sample
+    label = {"infonce": "S3D InfoNCE pretrain step",
+             "coclr": "S3D CoCLR co-training step (3rd fwd + top-k mining "
+                      "+ double enqueue)"}[variant]
+    return (f"clips/sec/chip, {label} (seq_len 32, batch {batch_size}, "
+            f"moco-k 2048, incl. on-device aug)", clips, dt,
+            _COST_UNITS[variant])
+
+
+def bench_retrieval():
+    """Eval-mode feature extraction (the NN-retrieval / feature-probe
+    forward): encoder.features through the reference's ColorJitter-on-
+    extract quirk (evalsuite/retrieval.py extract_features)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from coclr_tpu.models.encoder import ProjectionEncoder
+    from coclr_tpu.ops import augment
+
+    T, S = 32, 128
+    encoder = ProjectionEncoder(network="s3d", dim=128)
+
+    def build(batch_size):
+        x = jnp.zeros((1, T, S, S, 3), jnp.float32)
+        variables = jax.jit(lambda k: encoder.init(k, x, train=False))(
+            jax.random.PRNGKey(0))
+
+        @jax.jit
+        def feat_fn(clips_u8, key):
+            x = clips_u8.astype(jnp.float32) / 255.0
+
+            def per_clip(c, k):
+                apply = jax.random.uniform(jax.random.fold_in(k, 0)) < 0.3
+                return augment._color_jitter(c, k, apply,
+                                             strength=(0.2, 0.2, 0.2, 0.1))
+
+            keys = jax.random.split(key, x.shape[0])
+            x = jax.vmap(per_clip)(x, keys)
+            x = augment.normalize(x, dtype=jnp.bfloat16)
+            return encoder.apply(variables, x, train=False,
+                                 method=encoder.features)
+
+        rng = np.random.RandomState(0)
+        clips = jnp.asarray(rng.randint(0, 255, (batch_size, T, S, S, 3),
+                                        np.uint8))
+        for i in range(3):
+            out = feat_fn(clips, jax.random.PRNGKey(i))
+        assert np.isfinite(float(out[0, 0]))
+        return feat_fn, clips
+
+    batch_size, (feat_fn, clips) = _with_oom_fallback(build)
+
+    def run(i):
+        out = feat_fn(clips, jax.random.PRNGKey(100 + i))
+        assert np.isfinite(float(out[0, 0]))
+
+    dt = _time_windows(run)
+    return (f"clips/sec/chip, S3D eval feature extraction for retrieval/"
+            f"probe (seq_len 32, batch {batch_size})", batch_size, dt,
+            _COST_UNITS["retrieval"])
+
+
+def bench_ncrop():
+    """Eval-mode classifier logits as ten-crop TTA consumes them (one crop
+    == one forward clip; evalsuite/ncrop.py)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from coclr_tpu.models.classifier import LinearClassifier
+
+    T, S = 32, 128
+    model = LinearClassifier(num_class=101, network="s3d")
+
+    def build(batch_size):
+        x = jnp.zeros((batch_size, T, S, S, 3), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, x[:1], train=False))(
+            jax.random.PRNGKey(0))
+
+        @jax.jit
+        def logit_fn(clips):
+            logit, _ = model.apply(variables, clips, train=False)
+            return logit
+
+        rng = np.random.RandomState(0)
+        clips = jnp.asarray(rng.rand(batch_size, T, S, S, 3)
+                            .astype(np.float32))
+        for _ in range(3):
+            out = logit_fn(clips)
+        assert np.isfinite(float(out[0, 0]))
+        return logit_fn, clips
+
+    batch_size, (logit_fn, clips) = _with_oom_fallback(build)
+
+    def run(i):
+        out = logit_fn(clips)
+        assert np.isfinite(float(out[0, 0]))
+
+    dt = _time_windows(run)
+    return (f"clips/sec/chip, S3D ten-crop TTA classifier forward "
+            f"(seq_len 32, batch {batch_size} crops)", batch_size, dt,
+            _COST_UNITS["ncrop"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", "--model", dest="workload",
+                    default="infonce",
+                    choices=["infonce", "coclr", "retrieval", "ncrop"])
+    args = ap.parse_args()
+
+    if args.workload in ("infonce", "coclr"):
+        metric, clips, dt, units = bench_pretrain(args.workload)
+    elif args.workload == "retrieval":
+        metric, clips, dt, units = bench_retrieval()
+    else:
+        metric, clips, dt, units = bench_ncrop()
+
+    clips_per_sec = clips / dt
+    # reference estimate for this workload from the cost model (see module
+    # docstring): 55 clips/s at 4 units -> 55 * 4 / units
+    ref = REFERENCE_CLIPS_PER_SEC_PER_GPU * _COST_UNITS["infonce"] / units
     print(json.dumps({
-        "metric": "clips/sec/chip, S3D InfoNCE pretrain step (seq_len 32, "
-                  f"batch {batch_size}, moco-k 2048, incl. on-device aug)",
-        "value": round(clips_per_sec_per_chip, 2),
+        "metric": metric,
+        "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec_per_chip /
-                             REFERENCE_CLIPS_PER_SEC_PER_GPU, 3),
+        "vs_baseline": round(clips_per_sec / ref, 3),
     }))
 
 
