@@ -62,3 +62,17 @@ def test_main_nce_cli(staged, tmp_path):
     assert "Training from ep 0 to ep 1 finished" in res.stdout, \
         res.stdout[-2000:]
     assert "creating infonce model" in res.stdout
+
+
+def test_env_platform_is_authoritative():
+    """JAX_PLATFORMS=cpu in the env must actually select CPU once coclr_tpu
+    is imported (coclr_tpu/__init__.py): the axon dev image's site hook
+    registers a TPU plugin that otherwise wins over the env var, silently
+    landing every documented CPU subprocess recipe on the real chip."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import coclr_tpu, jax; print(jax.default_backend())"],
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
