@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--n_groups", default=24, type=int)
     ap.add_argument("--n_clips", default=6, type=int)
     ap.add_argument("--workers", default=8, type=int)
+    ap.add_argument("--epochs_probe", default=10, type=int)
+    ap.add_argument("--skip_downstream", action="store_true",
+                    help="stop after the post-cycle retrievals (rounds 1-2 "
+                         "behavior; downstream probes/TTA/fusion were manual)")
     ap.add_argument("--num_devices", default=0, type=int,
                     help="pass through to the CLIs (mini CPU runs: keep low "
                          "— 8 virtual devices starve collective rendezvous "
@@ -229,12 +233,75 @@ def main():
     retrieval("retrieval_rgb_coclr", rgb_c1, "ucf101")
     retrieval("retrieval_flow_coclr", flow_c1, "ucf101-f")
 
+    # 5 (round 3+): the downstream-eval chain on the cycle checkpoints —
+    # frozen-backbone linear probe + ten-crop TTA per modality, two-stream
+    # probability fusion, feature-space probe on the cached retrieval
+    # features (reference recipe README.md:92-127; round-2 ran these by
+    # hand, see .claude/skills/verify/SKILL.md "Round-2 validated chain")
+    if not args.skip_downstream:
+        eval_common = ["--net", "s3d", "--seq_len", str(args.seq_len),
+                       "--ds", "1", "--img_dim", str(args.img_dim),
+                       "--batch_size", str(args.batch_size),
+                       "--data_root", data_root, "-j", str(args.workers),
+                       "--num_devices", str(args.num_devices)]
+        prob_json = {}
+        for mod, ckpt, dataset in (("rgb", rgb_c1, "ucf101"),
+                                   ("flow", flow_c1, "ucf101-f")):
+            tag = f"probe_{mod}_coclr"
+            run_cli(tag, [os.path.join(REPO, "eval", "main_classifier.py"),
+                          "--dataset", dataset, "--train_what", "last",
+                          "--pretrain", ckpt,
+                          "--epochs", str(args.epochs_probe),
+                          "--prefix", f"cycp_{mod}"] + eval_common,
+                    wd, log_dir,
+                    done_marker=f"val epoch {args.epochs_probe - 1}:")
+            bests = glob.glob(os.path.join(
+                wd, f"log-eval-cycp_{mod}", "*", "model",
+                "model_best_*.ckpt"))
+            if not bests:
+                # no epoch ever beat val top1 0.0 (possible at smoke scale)
+                # -> no model_best was written; test the last epoch instead
+                bests = glob.glob(os.path.join(
+                    wd, f"log-eval-cycp_{mod}", "*", "model", "epoch*.ckpt"))
+            if not bests:
+                raise RuntimeError(f"no probe ckpt for {mod}")
+            best = max(bests, key=os.path.getmtime)
+            run_cli(tag + "_tencrop",
+                    [os.path.join(REPO, "eval", "main_classifier.py"),
+                     "--dataset", dataset, "--test", best, "--ten_crop"]
+                    + eval_common, wd, log_dir, done_marker="Mean: Acc@1")
+            jsons = glob.glob(os.path.join(os.path.dirname(best),
+                                           "*-prob-ten.json"))
+            prob_json[mod] = max(jsons, key=os.path.getmtime)
+
+        run_cli("merge_2stream",
+                [os.path.join(REPO, "eval", "merge_2stream_prob.py"),
+                 "--mode", "c", "--prob1", prob_json["rgb"],
+                 "--prob2", prob_json["flow"],
+                 "--class_ind", os.path.join(meta_dir, "ClassInd.txt")],
+                wd, log_dir, done_marker="merged accuracy")
+
+        feat_dir = os.path.join(wd, "feat_retrieval_rgb_coclr")
+        run_cli("feature_probe_rgb",
+                [os.path.join(REPO, "eval", "feature_linear_probe.py"),
+                 "--test", os.path.join(feat_dir, "x"),
+                 "--dirname", feat_dir, "--lr", "0.1", "--epochs", "60"],
+                wd, log_dir, done_marker="Final best acc")
+
     report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
     report["chance_R@1"] = round(1.0 / args.n_classes, 4)
     out_path = os.path.join(REPO, "DRIVE_coclr_cycle.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[drive] report -> {out_path}", flush=True)
+    # fold the downstream-phase results in + regenerate the markdown from
+    # the saved logs (the summarizer is the single source of truth for the
+    # committed artifact)
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools", "summarize_coclr_drive.py"),
+                    "--workdir", wd,
+                    "--chance", str(round(1.0 / args.n_classes, 4))],
+                   check=True)
     print(json.dumps(report, indent=1), flush=True)
 
 

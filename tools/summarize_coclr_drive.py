@@ -176,10 +176,28 @@ def main():
         "  hundreds of times the 1/(K+1) chance level: the queue's negatives",
         "  harden as the key encoder improves (standard MoCo behavior; the",
         "  signal of record is retrieval).",
-        "- Both modalities improve after their mining phase (rgb_init ->",
-        "  rgb_coclr via FlowMining, flow_init -> flow_coclr via RGBMining",
-        "  `--reverse`) — the reference's central claim (README.md:148-156:",
-        "  CoCLR-RGB 51.8 vs InfoNCE-RGB 33.1 NN@1) reproduced in shape.",
+    ]
+    # the mining-improvement claim is computed, not asserted: state it only
+    # for the modalities whose post-mining R@1 actually beats the init
+    improved = []
+    for mod in ("rgb", "flow"):
+        a = report["phases"].get(f"retrieval_{mod}_init", {}).get("R@1")
+        b = report["phases"].get(f"retrieval_{mod}_coclr", {}).get("R@1")
+        if a is not None and b is not None and b > a:
+            improved.append(f"{mod} {a:.3f}->{b:.3f}")
+    if len(improved) == 2:
+        lines += [
+            f"- Both modalities improve after their mining phase "
+            f"({', '.join(improved)}) — the reference's central claim "
+            f"(README.md:148-156: CoCLR-RGB 51.8 vs InfoNCE-RGB 33.1 NN@1) "
+            f"reproduced in shape.",
+        ]
+    elif improved:
+        lines += [
+            f"- Mining improved retrieval for {improved[0]}; the other "
+            f"modality did not improve in this drive (see table).",
+        ]
+    lines += [
         "- Self-acc (top-1 == the sibling clip, main_coclr.py:348-359) is",
         "  structurally tiny on few-class synthetic data: features cluster",
         "  by class so the top-1 key is a near-tie among the many same-class",
