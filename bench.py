@@ -16,6 +16,12 @@ Additional workloads (VERDICT-r2 ask #4, recorded in BASELINE.md):
   --workload ncrop      eval-mode classifier logits as the ten-crop TTA
                         consumes them (one crop == one clip here).
 
+`--timing window` (default) fences with ONE device-value fetch per 15-step
+window (the pretrain state carry / in-order device stream forces the whole
+window to execute), amortizing the axon tunnel's per-fetch round-trip;
+`--timing perstep` is the rounds-1/2 methodology (a fetch every step),
+which inflates short forward-only steps by ~1 RTT each.
+
 Prints ONE JSON line. `vs_baseline` is measured against an estimated
 55 clips/sec/chip for the reference PyTorch stack on one V100 (the 2-GPU DDP
 config in README.md:28-32; no published throughput exists — see BASELINE.md —
@@ -54,15 +60,30 @@ def _setup_jax():
     return jax
 
 
-def _time_windows(run_step, n_windows=3, n_steps=15):
-    """Median over windows of per-step seconds. run_step(i) must END with a
-    device->host VALUE fetch: on tunneled backends block_until_ready alone
-    can return before the execution stream drains."""
+def _time_windows(run_step, n_windows=3, n_steps=15, fence=None):
+    """Median over windows of per-step seconds.
+
+    Two fencing modes (DESIGN.md "Round 3: bench fencing"):
+      - fence=None (per-step): run_step(i) must END with a device->host
+        VALUE fetch. On tunneled backends block_until_ready alone can
+        return before the execution stream drains, so a fetch is the only
+        reliable fence — but it costs one tunnel round-trip PER STEP,
+        which inflates short steps.
+      - fence=callable (window): run_step(i) only enqueues; fence() does
+        ONE value fetch after each window. TPU execution is in-order per
+        core and the pretrain state threads through every step, so the
+        final fetch transitively waits on the whole window; the tunnel
+        round-trip is amortized over n_steps. This is the default
+        reported number — it measures device throughput, which is what a
+        real (non-tunneled) TPU host observes.
+    """
     windows = []
     for w in range(n_windows):
         t0 = time.perf_counter()
         for i in range(n_steps):
             run_step(w * 50 + i)
+        if fence is not None:
+            fence()
         windows.append((time.perf_counter() - t0) / n_steps)
     return float(np.median(windows))
 
@@ -79,7 +100,7 @@ def _with_oom_fallback(build, batch_size=32):
     raise RuntimeError("could not fit any batch size")
 
 
-def bench_pretrain(variant: str):
+def bench_pretrain(variant: str, timing: str = "window"):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -137,15 +158,22 @@ def bench_pretrain(variant: str):
 
     batch_size, (step_fn, state, opt_state, batch) = _with_oom_fallback(build)
 
-    box = [state, opt_state]
+    # host->device constants OUTSIDE the timed region: on the axon tunnel a
+    # fresh PRNGKey / scalar per step is a blocking ~RTT transfer each
+    keys = [jax.random.PRNGKey(100 + i) for i in range(200)]
+    lr = jnp.float32(1e-3)
+
+    box = [state, opt_state, None]
 
     def run(i):
-        box[0], box[1], metrics = step_fn(box[0], box[1], batch,
-                                          jax.random.PRNGKey(100 + i),
-                                          jnp.float32(1e-3))
-        assert np.isfinite(float(metrics["loss"]))
+        box[0], box[1], box[2] = step_fn(box[0], box[1], batch, keys[i], lr)
+        if timing == "perstep":
+            assert np.isfinite(float(box[2]["loss"]))
 
-    dt = _time_windows(run)
+    def fence():
+        assert np.isfinite(float(box[2]["loss"]))
+
+    dt = _time_windows(run, fence=None if timing == "perstep" else fence)
     clips = batch_size * 2  # 2 clips per sample
     label = {"infonce": "S3D InfoNCE pretrain step",
              "coclr": "S3D CoCLR co-training step (3rd fwd + top-k mining "
@@ -155,7 +183,7 @@ def bench_pretrain(variant: str):
             _COST_UNITS[variant])
 
 
-def bench_retrieval():
+def bench_retrieval(timing: str = "window"):
     """Eval-mode feature extraction (the NN-retrieval / feature-probe
     forward): encoder.features through the reference's ColorJitter-on-
     extract quirk (evalsuite/retrieval.py extract_features)."""
@@ -198,17 +226,26 @@ def bench_retrieval():
 
     batch_size, (feat_fn, clips) = _with_oom_fallback(build)
 
-    def run(i):
-        out = feat_fn(clips, jax.random.PRNGKey(100 + i))
-        assert np.isfinite(float(out[0, 0]))
+    keys = [jax.random.PRNGKey(100 + i) for i in range(200)]
+    box = [None]
 
-    dt = _time_windows(run)
+    def run(i):
+        box[0] = feat_fn(clips, keys[i])
+        if timing == "perstep":
+            assert np.isfinite(float(box[0][0, 0]))
+
+    def fence():
+        # in-order device stream: fetching the LAST forward's output waits
+        # on every enqueued forward before it
+        assert np.isfinite(float(box[0][0, 0]))
+
+    dt = _time_windows(run, fence=None if timing == "perstep" else fence)
     return (f"clips/sec/chip, S3D eval feature extraction for retrieval/"
             f"probe (seq_len 32, batch {batch_size})", batch_size, dt,
             _COST_UNITS["retrieval"])
 
 
-def bench_ncrop():
+def bench_ncrop(timing: str = "window"):
     """Eval-mode classifier logits as ten-crop TTA consumes them (one crop
     == one forward clip; evalsuite/ncrop.py)."""
     jax = _setup_jax()
@@ -239,11 +276,17 @@ def bench_ncrop():
 
     batch_size, (logit_fn, clips) = _with_oom_fallback(build)
 
-    def run(i):
-        out = logit_fn(clips)
-        assert np.isfinite(float(out[0, 0]))
+    box = [None]
 
-    dt = _time_windows(run)
+    def run(i):
+        box[0] = logit_fn(clips)
+        if timing == "perstep":
+            assert np.isfinite(float(box[0][0, 0]))
+
+    def fence():
+        assert np.isfinite(float(box[0][0, 0]))
+
+    dt = _time_windows(run, fence=None if timing == "perstep" else fence)
     return (f"clips/sec/chip, S3D ten-crop TTA classifier forward "
             f"(seq_len 32, batch {batch_size} crops)", batch_size, dt,
             _COST_UNITS["ncrop"])
@@ -254,14 +297,20 @@ def main():
     ap.add_argument("--workload", "--model", dest="workload",
                     default="infonce",
                     choices=["infonce", "coclr", "retrieval", "ncrop"])
+    ap.add_argument("--timing", default="window",
+                    choices=["window", "perstep"],
+                    help="window (default): one fencing value-fetch per "
+                         "15-step window — measures device throughput, "
+                         "tunnel RTT amortized. perstep: a value fetch "
+                         "every step (rounds 1-2 methodology).")
     args = ap.parse_args()
 
     if args.workload in ("infonce", "coclr"):
-        metric, clips, dt, units = bench_pretrain(args.workload)
+        metric, clips, dt, units = bench_pretrain(args.workload, args.timing)
     elif args.workload == "retrieval":
-        metric, clips, dt, units = bench_retrieval()
+        metric, clips, dt, units = bench_retrieval(args.timing)
     else:
-        metric, clips, dt, units = bench_ncrop()
+        metric, clips, dt, units = bench_ncrop(args.timing)
 
     clips_per_sec = clips / dt
     # reference estimate for this workload from the cost model (see module
