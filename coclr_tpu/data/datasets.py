@@ -21,6 +21,17 @@ from coclr_tpu.data.pack import unpackb
 
 
 def _default_root(style: str) -> str:
+    """Split-metadata dir for a dataset style ('ucf101', 'hmdb51', ...).
+
+    Default mirrors the reference's hard-coded relative layout
+    (process_data/data/<style>, lmdb_dataset.py:84-90) — in this repo a
+    symlink, which is GLOBAL state: two concurrent drives re-pointing it
+    poison each other's splits (CLAUDE.md). COCLR_META_ROOT overrides the
+    parent dir per-process (same <style> sublayout), so each drive can
+    carry its own metadata root without touching the shared link."""
+    env = os.environ.get("COCLR_META_ROOT")
+    if env:
+        return os.path.join(env, style)
     here = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(os.path.dirname(os.path.dirname(here)),
                         "process_data", "data", style)

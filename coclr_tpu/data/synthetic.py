@@ -114,7 +114,8 @@ def _write_frames_from_array(path: str, vid: np.ndarray):
 def make_synthetic_ucf(root: str, n_classes: int = 2, n_groups: int = 2,
                        n_clips: int = 2, n_frames: int = 24,
                        size: Tuple[int, int] = (64, 80), flow: bool = True,
-                       seed: int = 0, content: str = "noise"):
+                       seed: int = 0, content: str = "noise",
+                       test_groups: int = 1):
     """Build a tiny UCF101-shaped dataset under `root`.
 
     content='noise' (default): random-texture videos, fast, for plumbing
@@ -122,6 +123,13 @@ def make_synthetic_ucf(root: str, n_classes: int = 2, n_groups: int = 2,
     (render_learnable_video) for learning-dynamics drives; clips of one
     group share the instance parameters (same source video, like the
     reference's sibling clips).
+
+    test_groups: how many of the highest-numbered groups form the test
+    split (UCF-style group-disjoint split). The default 1 gives
+    n_classes*n_clips test videos — at drive scale that is a 24-query
+    retrieval set whose R@1 moves in 0.042 steps, too coarse to separate
+    learning from noise (round-3 drive v1); raising it widens the query
+    set at zero training cost.
 
     Returns dict with paths: root (metadata dir), db_path, db_path_flow.
     """
@@ -177,9 +185,11 @@ def make_synthetic_ucf(root: str, n_classes: int = 2, n_groups: int = 2,
     with open(os.path.join(meta_dir, "video_source.json"), "w") as f:
         json.dump(source_map, f)
 
-    # groups 1..n-1 -> train, last group -> test (UCF-style split files)
-    train = [r for r in rows if r[2] < n_groups or n_groups == 1]
-    test = [r for r in rows if r[2] == n_groups]
+    # groups 1..n-test_groups -> train, last test_groups -> test
+    # (UCF-style group-disjoint split files)
+    cut = max(1, n_groups - max(1, test_groups) + 1)
+    train = [r for r in rows if r[2] < cut or n_groups == 1]
+    test = [r for r in rows if r[2] >= cut and n_groups > 1]
     for name, subset in (("train", train), ("test", test or train)):
         with open(os.path.join(meta_dir, "%s_split01.csv" % name), "w") as f:
             for path, nf, _ in subset:

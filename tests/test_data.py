@@ -337,3 +337,21 @@ def test_process_loader_rejects_variable_shapes():
                 worker_mode="process")
     with pytest.raises(ValueError, match="worker_mode='thread'"):
         next(iter(lp))
+
+
+def test_synthetic_test_groups_split(tmp_path):
+    """test_groups widens the group-disjoint test split (drive v2 lever:
+    more retrieval queries at zero training cost); default 1 keeps the
+    rounds-1/2 single-group layout."""
+    out = make_synthetic_ucf(str(tmp_path / "tg"), n_classes=2, n_groups=4,
+                             n_clips=1, n_frames=4, size=(32, 40),
+                             flow=False, test_groups=2)
+    meta = out["root"]
+
+    def groups(csv):
+        with open(os.path.join(meta, csv)) as f:
+            return sorted({int(line.split(",")[0].rstrip("/").split("_g")[1]
+                               .split("_")[0]) for line in f})
+
+    assert groups("train_split01.csv") == [1, 2]
+    assert groups("test_split01.csv") == [3, 4]

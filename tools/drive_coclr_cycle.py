@@ -115,6 +115,10 @@ def main():
     ap.add_argument("--n_classes", default=4, type=int)
     ap.add_argument("--n_groups", default=24, type=int)
     ap.add_argument("--n_clips", default=6, type=int)
+    ap.add_argument("--test_groups", default=1, type=int,
+                    help="held-out groups in the synthetic split; >1 widens "
+                         "the retrieval query set (n_classes*test_groups*"
+                         "n_clips queries) at zero training cost")
     ap.add_argument("--workers", default=8, type=int)
     ap.add_argument("--epochs_probe", default=10, type=int)
     ap.add_argument("--skip_downstream", action="store_true",
@@ -140,25 +144,27 @@ def main():
             os.path.join(wd, "gen"), n_classes=args.n_classes,
             n_groups=args.n_groups, n_clips=args.n_clips,
             n_frames=args.seq_len + 16, size=(136, 180), flow=True,
-            content="learnable", seed=0)
+            content="learnable", seed=0, test_groups=args.test_groups)
         os.makedirs(os.path.dirname(db), exist_ok=True)
         os.replace(out["db_path"], db)
         os.replace(out["db_path_flow"], dbf)
         print(f"[drive] staged at {data_root}", flush=True)
 
-    # (re)point the global split-metadata symlink EVERY launch, not just
-    # when staging: it is a repo-wide contract other workflows also set
-    # (see CLAUDE.md), and a resume that skipped staging with the link
-    # pointing elsewhere joins against the wrong splits -> 0-video phases
-    # that still print "finished"
+    # Per-drive split-metadata root (COCLR_META_ROOT, exported to every
+    # child CLI by run_cli): earlier rounds re-pointed the repo-global
+    # process_data/data/ucf101 symlink, which poisoned any concurrently
+    # running drive's splits (CLAUDE.md hazard note). The drive now never
+    # touches the global link.
     meta_dir = os.path.join(wd, "gen", "meta")
+    meta_root = os.path.join(wd, "meta_root")
     if os.path.isdir(meta_dir):
-        meta_link = os.path.join(REPO, "process_data", "data", "ucf101")
-        os.makedirs(os.path.dirname(meta_link), exist_ok=True)
+        os.makedirs(meta_root, exist_ok=True)
+        meta_link = os.path.join(meta_root, "ucf101")
         if os.path.islink(meta_link):
             os.unlink(meta_link)
         if not os.path.exists(meta_link):
             os.symlink(meta_dir, meta_link)
+    os.environ["COCLR_META_ROOT"] = meta_root
 
     common = ["--net", "s3d", "--moco-k", str(args.moco_k),
               "--seq_len", str(args.seq_len), "--ds", "1",
