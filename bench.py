@@ -203,15 +203,9 @@ def bench_retrieval(timing: str = "window"):
 
         @jax.jit
         def feat_fn(clips_u8, key):
-            x = clips_u8.astype(jnp.float32) / 255.0
-
-            def per_clip(c, k):
-                apply = jax.random.uniform(jax.random.fold_in(k, 0)) < 0.3
-                return augment._color_jitter(c, k, apply,
-                                             strength=(0.2, 0.2, 0.2, 0.1))
-
-            keys = jax.random.split(key, x.shape[0])
-            x = jax.vmap(per_clip)(x, keys)
+            x = clips_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            x = augment.eval_color_jitter(x, key, p=0.3,
+                                          strength=(0.2, 0.2, 0.2, 0.1))
             x = augment.normalize(x, dtype=jnp.bfloat16)
             return encoder.apply(variables, x, train=False,
                                  method=encoder.features)

@@ -60,22 +60,18 @@ def extract_features(model, state, dataset, cfg, clip_batch: int = 32,
 
     jitter_p: the reference extracts features THROUGH a ColorJitter(0.2,...)
     @ p=0.3 consistent transform (main_classifier.py:560-563); default keeps
-    that; pass 0 for clean features."""
-    from coclr_tpu.ops.augment import _color_jitter
+    that; pass 0 for clean features. The jitter runs in cfg.dtype (the
+    compute-dtype policy shared with the pretrain aug path) via
+    augment.eval_color_jitter — the round-2 f32 vmap/scan formulation cost
+    as much as the S3D forward it fed (985 -> see BASELINE.md round 3)."""
+    from coclr_tpu.ops.augment import eval_color_jitter, normalize
 
     @jax.jit
     def feat_fn(state_, clips, key):
-        x = clips.astype(jnp.float32) / 255.0
+        x = clips.astype(cfg.dtype) / jnp.asarray(255.0, cfg.dtype)
         if jitter_p > 0:
-            def per_clip(c, k):
-                apply = jax.random.uniform(jax.random.fold_in(k, 0)) < jitter_p
-                return _color_jitter(c, k, apply,
-                                     strength=(0.2, 0.2, 0.2, 0.1))
-
-            keys = jax.random.split(key, x.shape[0])
-            x = jax.vmap(per_clip)(x, keys)
-        from coclr_tpu.ops.augment import normalize
-
+            x = eval_color_jitter(x, key, p=jitter_p,
+                                  strength=(0.2, 0.2, 0.2, 0.1))
         x = normalize(x, dtype=cfg.dtype)
         _, feat = model.apply(
             {"params": state_.params, "batch_stats": state_.batch_stats},

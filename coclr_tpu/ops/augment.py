@@ -179,6 +179,56 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
     return x
 
 
+def eval_color_jitter(x, key, p=0.3, strength=(0.2, 0.2, 0.2, 0.1)):
+    """Per-clip RandomApply(p) ColorJitter for eval-mode feature extraction
+    (the reference extracts retrieval/probe features THROUGH a
+    ColorJitter(0.2,0.2,0.2,0.1) @ p=0.3 consistent transform,
+    eval/main_classifier.py:560-563). x: [m, L, S, S, C] in [0,1], any
+    float dtype; factors and op order drawn per clip, shared by its frames.
+
+    Same frame-flattened 4-stage positional-select structure as the
+    pretrain path in `augment_clips` (rank-4, fuses into single VPU
+    passes) — the earlier vmap(scan(switch)) formulation executed all four
+    branches per scan step anyway (batched switch under vmap lowers to
+    select-over-all-branches) but in f32 with scan/vmap fusion barriers,
+    costing as much as the S3D forward it fed (DESIGN.md round 3)."""
+    m, L = x.shape[0], x.shape[1]
+    sb, sc, ss, sh = strength
+    kp, kb, kc, ks, kh, ko = jax.random.split(key, 6)
+    do = jax.random.uniform(kp, (m,)) < p
+
+    def factor(k, spread):
+        f = jax.random.uniform(k, (m,), minval=max(0.0, 1.0 - spread),
+                               maxval=1.0 + spread)
+        return jnp.repeat(jnp.where(do, f, 1.0), L)
+
+    fb = factor(kb, sb).astype(x.dtype)[:, None, None, None]
+    fc = factor(kc, sc).astype(x.dtype)[:, None, None, None]
+    fs = factor(ks, ss).astype(x.dtype)[:, None, None, None]
+    fh = jnp.repeat(jnp.where(
+        do, jax.random.uniform(kh, (m,), minval=-sh, maxval=sh), 0.0),
+        L).astype(x.dtype)[:, None, None]
+    codes = jnp.repeat(pack_orders(jax.vmap(
+        lambda k: jax.random.permutation(k, 4))(jax.random.split(ko, m))),
+        L)
+
+    shape = x.shape
+    xf = x.reshape((m * L,) + shape[2:])
+    ops = [
+        lambda a: adjust_brightness(a, fb).astype(x.dtype),
+        lambda a: adjust_contrast(a, fc).astype(x.dtype),
+        lambda a: adjust_saturation(a, fs).astype(x.dtype),
+        lambda a: adjust_hue(a, fh).astype(x.dtype),
+    ]
+    for pos in range(4):
+        code = ((codes >> (2 * pos)) & 3)[:, None, None, None]
+        cands = [op(xf) for op in ops]
+        xf = jnp.where(code == 0, cands[0],
+                       jnp.where(code == 1, cands[1],
+                                 jnp.where(code == 2, cands[2], cands[3])))
+    return xf.reshape(shape)
+
+
 def pack_orders(perms):
     """[m, 4] per-clip op permutations -> [m] int32 codes (2 bits per
     position, position 0 in the low bits). [0,1,2,3] packs to 228."""

@@ -247,3 +247,51 @@ def test_pallas_backend_null_path_exact():
     b = np.asarray(augment_clips(seq, base, key, dtype=jnp.float32,
                                  backend="pallas", normalize_out=True))
     assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
+
+
+def test_eval_color_jitter_semantics():
+    """eval_color_jitter (retrieval/probe feature-extraction front-end):
+    p=0 and zero strength are identity; applied clips share one set of
+    factors across frames; equals a sequential per-clip reference
+    evaluated in the drawn op order."""
+    x = rand_img((3, 4, 8, 8, 3), seed=1)
+    key = jax.random.PRNGKey(7)
+
+    # zero strength: every op degenerates to identity regardless of p/order
+    y = augment.eval_color_jitter(x, key, p=1.0, strength=(0, 0, 0, 0))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-6)
+
+    # p -> 0: apply mask all-false -> factors pinned to identity
+    y = augment.eval_color_jitter(x, key, p=0.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-6)
+
+    # reproduce the exact draw stream and check against a sequential
+    # application in the drawn per-clip order
+    m, L = x.shape[0], x.shape[1]
+    kp, kb, kc, ks, kh, ko = jax.random.split(key, 6)
+    do = jax.random.uniform(kp, (m,)) < 1.0
+
+    def factor(k, spread):
+        f = jax.random.uniform(k, (m,), minval=max(0.0, 1.0 - spread),
+                               maxval=1.0 + spread)
+        return jnp.where(do, f, 1.0)
+
+    fb, fc, fs = factor(kb, 0.4), factor(kc, 0.4), factor(ks, 0.4)
+    fh = jnp.where(do, jax.random.uniform(kh, (m,), minval=-0.1, maxval=0.1),
+                   0.0)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, 4))(
+        jax.random.split(ko, m))
+    y = augment.eval_color_jitter(x, key, p=1.0, strength=(0.4, 0.4, 0.4, 0.1))
+    for ci in range(m):
+        ref = x[ci]
+        for op in np.asarray(perms[ci]):
+            if op == 0:
+                ref = augment.adjust_brightness(ref, fb[ci])
+            elif op == 1:
+                ref = augment.adjust_contrast(ref, fc[ci])
+            elif op == 2:
+                ref = augment.adjust_saturation(ref, fs[ci])
+            else:
+                ref = augment.adjust_hue(ref, fh[ci][None, None])
+        np.testing.assert_allclose(np.asarray(y[ci]), np.asarray(ref),
+                                   atol=1e-5)
