@@ -117,6 +117,48 @@ def make_upload(mesh):
     return put_batch, put_repl
 
 
+class _PreemptionGuard:
+    """SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit clean.
+
+    The reference has no preemption handling (SURVEY §5.3: recovery is
+    manual --resume from epoch-boundary checkpoints, so a preempted run
+    loses the whole partial epoch AND must be relaunched by hand). TPU
+    pods are preemptible in production, so this is a first-class additive
+    subsystem here: on the first signal a flag is set and the step loop
+    saves `preempt.ckpt` (full resume state, epoch wound back so --resume
+    re-runs the interrupted epoch) before exiting with code 0. A second
+    signal falls through to the previous handler (hard kill available).
+    Installed only when running in the main thread (signal API limit)."""
+
+    def __init__(self):
+        self.flagged = False
+        self._prev = {}
+
+    def __enter__(self):
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            self._prev[sig] = signal.signal(sig, self._handle)
+        return self
+
+    def _handle(self, sig, frame):
+        import signal
+        if self.flagged:  # second signal: restore + re-raise = hard stop
+            signal.signal(sig, self._prev.get(sig, signal.SIG_DFL))
+            raise KeyboardInterrupt
+        self.flagged = True
+        print(f"=> caught signal {sig}: will checkpoint and exit after "
+              "the in-flight step", flush=True)
+
+    def __exit__(self, *exc):
+        import signal
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        return False
+
+
 def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                  loader=None):
     """Train per cfg. `dataset`/`max_steps` are injectable for tests/bench."""
@@ -177,7 +219,12 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     run_key = jax.random.PRNGKey(cfg.seed + 1)
 
     train_acc = 0.0
+    preempted = False
+    guard = _PreemptionGuard()
+    guard.__enter__()
     for epoch in range(start_epoch, cfg.epochs):
+        if preempted:
+            break
         loader.set_epoch(epoch)
         lr = get_lr(cfg, epoch)
 
@@ -246,11 +293,30 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                                  iteration)
             iteration += 1
             steps_this_epoch += 1
+            if guard.flagged:
+                drain(pending)
+                pending = None
+                ck = os.path.join(model_path, "preempt.ckpt")
+                # epoch wound back one: --resume restarts THIS epoch (the
+                # partial epoch's updates are kept in `state`; re-running
+                # its data is the same epoch-granularity semantics as the
+                # reference's boundary-only checkpoints, minus the lost work)
+                save_checkpoint(
+                    {"epoch": epoch - 1, "state": jax.device_get(state),
+                     "opt_state": jax.device_get(opt_state),
+                     "best_acc": best_acc, "iteration": iteration},
+                    is_best=False, gap=0, filename=ck, keep_all=True)
+                print(f"=> preemption checkpoint written: {ck} "
+                      f"(resume with --resume {ck})", flush=True)
+                preempted = True
+                break
             if max_steps and steps_this_epoch >= max_steps:
                 break
         if prof_ctx is not None:  # epoch ended inside the trace window
             prof_ctx.__exit__(None, None, None)
         drain(pending)
+        if preempted:  # partial epoch: no boundary logging/checkpoint
+            break
 
         print(f"Epoch: [{epoch}][{steps_this_epoch}] T-epoch:"
               f"{time.time() - tic:.2f}")
@@ -271,7 +337,12 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                 filename=os.path.join(model_path, f"epoch{epoch}.ckpt"),
                 keep_all="k400" in cfg.dataset)
 
-    print(f"Training from ep {start_epoch} to ep {cfg.epochs} finished")
+    guard.__exit__()
+    if preempted:
+        print(f"Training preempted at ep {epoch}; resume from "
+              f"{os.path.join(model_path, 'preempt.ckpt')}")
+    else:
+        print(f"Training from ep {start_epoch} to ep {cfg.epochs} finished")
     plotter.close()
     return state, opt_state, {"best_acc": best_acc, "exp_path": exp_path,
-                              "train_acc": train_acc}
+                              "train_acc": train_acc, "preempted": preempted}

@@ -76,3 +76,56 @@ def test_env_platform_is_authoritative():
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_preemption_checkpoint_and_resume(staged, tmp_path):
+    """SIGTERM mid-training -> finish the in-flight step, write
+    preempt.ckpt, exit 0; --resume from it completes the run (additive
+    subsystem; the reference loses the partial epoch and has no handler,
+    SURVEY §5.3)."""
+    import signal
+    import time as _time
+
+    mr = tmp_path / "mr"
+    mr.mkdir()
+    os.symlink(staged["meta"], mr / "ucf101")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=REPO, COCLR_META_ROOT=str(mr))
+    args = [sys.executable, "-u", os.path.join(REPO, "main_nce.py"),
+            "--dataset", "ucf101-2clip", "--net", "tiny", "--model",
+            "infonce", "--seq_len", "4", "--img_dim", "32", "--batch_size",
+            "1", "--moco-k", "16", "--moco-dim", "16", "--print_freq", "1",
+            "-j", "2", "--compute_dtype", "float32",
+            "--data_root", staged["data_root"], "--prefix", "preempt"]
+    p = subprocess.Popen(args + ["--epochs", "50"], cwd=str(tmp_path),
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    out = []
+    try:
+        deadline = _time.time() + 600
+        for line in p.stdout:
+            out.append(line)
+            if line.startswith("Epoch:[0]"):  # at least one step ran
+                p.send_signal(signal.SIGTERM)
+                break
+            assert _time.time() < deadline, "".join(out)[-2000:]
+        out.append(p.stdout.read())
+        rc = p.wait(timeout=600)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    text = "".join(out)
+    assert rc == 0, text[-2000:]
+    assert "preemption checkpoint written" in text, text[-2000:]
+    cks = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+           for f in fs if f == "preempt.ckpt"]
+    assert len(cks) == 1, text[-2000:]
+
+    res = subprocess.run(args + ["--epochs", "1", "--resume", cks[0]],
+                         cwd=str(tmp_path), env=env, capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "=> resumed" in res.stdout, res.stdout[-2000:]
+    assert "finished" in res.stdout, res.stdout[-2000:]
