@@ -61,6 +61,8 @@ class PretrainConfig:
     data_root: str = ""                 # LMDB root (reference lmdb_root)
     worker_mode: str = "thread"         # loader workers: thread | process
     profile_steps: int = 0              # >0: trace N steps of first epoch
+    ckpt_format: str = "flax"           # flax (single file) | orbax (sharded
+                                        # dir; resharding resume, multi-host)
 
     @property
     def dtype(self):
@@ -104,6 +106,7 @@ class EvalConfig:
     decode_size: Tuple[int, int] = (136, 180)
     data_root: str = ""
     worker_mode: str = "thread"         # loader workers: thread | process
+    ckpt_format: str = "flax"           # flax | orbax (see PretrainConfig)
 
     @property
     def dtype(self):

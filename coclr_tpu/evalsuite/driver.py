@@ -22,7 +22,8 @@ from coclr_tpu.parallel import make_mesh
 from coclr_tpu.train.lr import step_schedule
 from coclr_tpu.train.pretrain import make_upload
 from coclr_tpu.utils import torch_interop
-from coclr_tpu.utils.checkpoint import load_checkpoint, neq_load, save_checkpoint
+from coclr_tpu.utils.checkpoint import (checkpoint_exists, load_checkpoint,
+                                        neq_load, save_checkpoint)
 from coclr_tpu.utils.logging import Logger, PlotterThread
 from coclr_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -108,7 +109,7 @@ def load_pretrained_backbone(state: ClassifierState, path: str
                              ) -> ClassifierState:
     """--pretrain: encoder_q.0.* -> backbone.* (eval/main_classifier.py:
     246-262), tolerant load; accepts native or torch checkpoints."""
-    if not os.path.isfile(path):
+    if not checkpoint_exists(path):
         print(f"[Warning] no checkpoint found at '{path}'")
         return state
     if path.endswith((".pth", ".pth.tar", ".pt")):
@@ -150,7 +151,7 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
     img_path, model_path, exp_path = set_path(cfg)
     start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0
 
-    if cfg.resume and os.path.isfile(cfg.resume):
+    if cfg.resume and checkpoint_exists(cfg.resume):
         ckpt = load_checkpoint(cfg.resume, state_template=state,
                                opt_template=opt_state)
         state, opt_state = ckpt["state"], ckpt["opt_state"]
@@ -241,7 +242,8 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
              "opt_state": jax.device_get(opt_state), "best_acc": best_acc,
              "iteration": iteration},
             is_best=is_best, gap=1,
-            filename=os.path.join(model_path, f"epoch{epoch}.ckpt"))
+            filename=os.path.join(model_path, f"epoch{epoch}.ckpt"),
+            fmt=cfg.ckpt_format)
 
     plotter.close()
     return state, {"best_acc": best_acc, "exp_path": exp_path}

@@ -20,7 +20,7 @@ import jax
 
 from coclr_tpu.models.moco import MoCoState
 from coclr_tpu.utils import torch_interop
-from coclr_tpu.utils.checkpoint import load_checkpoint
+from coclr_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
 
 
 def _is_torch_ckpt(path: str) -> bool:
@@ -30,7 +30,7 @@ def _is_torch_ckpt(path: str) -> bool:
 def load_encoder_q(path: str, state_template: MoCoState):
     """Extract (params, stats) of encoder_q from a checkpoint of either
     format. Returns None if the file is missing."""
-    if not os.path.isfile(path):
+    if not checkpoint_exists(path):
         return None
     if _is_torch_ckpt(path):
         ckpt = torch_interop.load_torch_checkpoint(path)

@@ -27,7 +27,8 @@ from coclr_tpu.parallel.mesh import DATA_AXIS, mesh_axes
 from coclr_tpu.train import init_surgery
 from coclr_tpu.train.lr import get_lr
 from coclr_tpu.utils import profiling
-from coclr_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from coclr_tpu.utils.checkpoint import (checkpoint_exists, load_checkpoint,
+                                        save_checkpoint)
 from coclr_tpu.utils.logging import Logger, PlotterThread
 from coclr_tpu.utils.meters import AverageMeter, ProgressMeter
 
@@ -189,7 +190,7 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     img_path, model_path, exp_path = set_path(cfg, coclr=is_coclr)
     start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0
 
-    if cfg.resume and os.path.isfile(cfg.resume):
+    if cfg.resume and checkpoint_exists(cfg.resume):
         ckpt = load_checkpoint(cfg.resume, state_template=state,
                                opt_template=opt_state)
         state, opt_state = ckpt["state"], ckpt["opt_state"]
@@ -305,7 +306,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                     {"epoch": epoch - 1, "state": jax.device_get(state),
                      "opt_state": jax.device_get(opt_state),
                      "best_acc": best_acc, "iteration": iteration},
-                    is_best=False, gap=0, filename=ck, keep_all=True)
+                    is_best=False, gap=0, filename=ck, keep_all=True,
+                    fmt=cfg.ckpt_format)
                 print(f"=> preemption checkpoint written: {ck} "
                       f"(resume with --resume {ck})", flush=True)
                 preempted = True
@@ -335,7 +337,7 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                  "best_acc": best_acc, "iteration": iteration},
                 is_best=is_best, gap=cfg.save_freq,
                 filename=os.path.join(model_path, f"epoch{epoch}.ckpt"),
-                keep_all="k400" in cfg.dataset)
+                keep_all="k400" in cfg.dataset, fmt=cfg.ckpt_format)
 
     guard.__exit__()
     if preempted:

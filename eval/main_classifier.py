@@ -50,6 +50,10 @@ def parse_args():
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'])
+    parser.add_argument('--ckpt_format', default='flax', type=str,
+                        choices=['flax', 'orbax'],
+                        help='checkpoint backend: single-file flax-msgpack '
+                             'or orbax dirs (sharded save, resharding resume)')
     return parser.parse_args()
 
 
@@ -67,7 +71,7 @@ def cfg_from_args(args) -> EvalConfig:
         center_crop=args.center_crop, five_crop=args.five_crop,
         prefix=args.prefix, compute_dtype=args.compute_dtype,
         num_devices=args.num_devices, data_root=args.data_root,
-        worker_mode=args.worker_mode)
+        worker_mode=args.worker_mode, ckpt_format=args.ckpt_format)
 
 
 def main():

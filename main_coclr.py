@@ -65,6 +65,10 @@ def parse_args():
     parser.add_argument('--profile_steps', default=0, type=int,
                         help='capture an XLA device trace of N steady-state '
                              'steps of the first epoch into <exp>/trace')
+    parser.add_argument('--ckpt_format', default='flax', type=str,
+                        choices=['flax', 'orbax'],
+                        help='checkpoint backend: single-file flax-msgpack '
+                             'or orbax dirs (sharded save, resharding resume)')
     return parser.parse_args()
 
 
@@ -86,7 +90,7 @@ def cfg_from_args(args) -> PretrainConfig:
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
         worker_mode=args.worker_mode, profile_steps=args.profile_steps,
-        data_root=args.data_root)
+        ckpt_format=args.ckpt_format, data_root=args.data_root)
 
 
 if __name__ == '__main__':

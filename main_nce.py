@@ -69,6 +69,10 @@ def parse_args():
     parser.add_argument('--profile_steps', default=0, type=int,
                         help='capture an XLA device trace of N steady-state '
                              'steps of the first epoch into <exp>/trace')
+    parser.add_argument('--ckpt_format', default='flax', type=str,
+                        choices=['flax', 'orbax'],
+                        help='checkpoint backend: single-file flax-msgpack '
+                             'or orbax dirs (sharded save, resharding resume)')
     parser.add_argument('--cos', action='store_true')
     return parser.parse_args()
 
@@ -90,7 +94,8 @@ def cfg_from_args(args) -> PretrainConfig:
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
         data_root=args.data_root, cos=args.cos,
-        worker_mode=args.worker_mode, profile_steps=args.profile_steps)
+        worker_mode=args.worker_mode, profile_steps=args.profile_steps,
+        ckpt_format=args.ckpt_format)
 
 
 if __name__ == '__main__':

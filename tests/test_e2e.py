@@ -57,6 +57,21 @@ def test_infonce_e2e_and_resume(synth, tmp_path, monkeypatch):
     assert int(np.asarray(state2.step)) > int(np.asarray(state.step))
 
 
+def test_infonce_e2e_orbax_ckpt(synth, tmp_path, monkeypatch):
+    """--ckpt_format orbax through the real train loop: epoch save is an
+    orbax directory and --resume restores from it (auto-detected)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(epochs=1, ckpt_format="orbax")
+    ds = _dataset(synth, cfg)
+    state, _, info = run_pretrain(cfg, dataset=ds, max_steps=2)
+    ckpts = glob.glob(os.path.join(info["exp_path"], "model", "epoch*.ckpt"))
+    assert len(ckpts) == 1 and os.path.isdir(ckpts[0])
+
+    cfg2 = tiny_cfg(epochs=2, resume=ckpts[0], ckpt_format="orbax")
+    state2, _, _ = run_pretrain(cfg2, dataset=ds, max_steps=2)
+    assert int(np.asarray(state2.step)) > int(np.asarray(state.step))
+
+
 def test_ubernce_e2e(synth, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = tiny_cfg(model="ubernce")
