@@ -97,9 +97,15 @@ def main():
     with open(prior, "w") as f:
         json.dump(report, f, indent=1)
 
+    cfg = report.get("config") or {}
+    shape = (f"at moco-k {cfg['moco_k']}, seq {cfg['seq_len']}, "
+             f"{cfg['img_dim']}x{cfg['img_dim']}"
+             if cfg.get("moco_k") else "at moco-k 2048, seq 32, 128x128")
+    n_q = (cfg["n_classes"] * cfg["test_groups"] * cfg["n_clips"]
+           if cfg.get("test_groups") else None)
     lines = ["# CoCLR cycle drive — real chip, learnable synthetic UCF", ""]
-    lines += ["Scripted reference recipe (README.md:28-56 of the reference) "
-              "at moco-k 2048, seq 32, 128x128: two InfoNCE inits -> "
+    lines += [f"Scripted reference recipe (README.md:28-56 of the reference) "
+              f"{shape}: two InfoNCE inits -> "
               "Cycle1-FlowMining -> Cycle1-RGBMining (--reverse) -> NN "
               "retrieval before/after. Produced by tools/drive_coclr_cycle.py;"
               " raw logs in the drive workdir.", ""]
@@ -120,8 +126,13 @@ def main():
             + (", resumed from an earlier launch" if resumed
                else f", {wall} min" if wall is not None else ""))
     lines.append("")
-    lines.append(f"NN retrieval on the held-out group (chance R@1 = "
-                 f"{args.chance}):")
+    stat = ""
+    if n_q:
+        sigma = (args.chance * (1 - args.chance) / n_q) ** 0.5
+        stat = (f" — {n_q} held-out query videos; binomial sigma at chance "
+                f"= {sigma:.3f}")
+    lines.append(f"NN retrieval on the held-out groups (chance R@1 = "
+                 f"{args.chance}{stat}):")
     lines.append("")
     lines.append("| model | R@1 | R@5 |")
     lines.append("|---|---|---|")
@@ -130,17 +141,19 @@ def main():
         if "R@1" in ph:
             lines.append(f"| {tag.replace('retrieval_', '')} | "
                          f"{ph['R@1']:.3f} | {ph.get('R@5', float('nan')):.3f} |")
-    pr = report["phases"].get("probe_rgb_coclr")
-    if pr and "tencrop_top1" in pr:
-        lines += [
-            "",
-            f"Downstream eval on the CoCLR-RGB checkpoint: linear probe "
-            f"(`--train_what last`, {pr.get('epochs_run', '?')} epochs, "
-            f"frozen backbone) then ten-crop TTA test "
-            f"(`--test ... --ten_crop`): **top-1 "
-            f"{pr['tencrop_top1']:.3f}** (chance {args.chance}), top-5 "
-            f"{pr['tencrop_top5']:.3f}.",
-        ]
+    for mod in ("rgb", "flow"):
+        pr = report["phases"].get(f"probe_{mod}_coclr")
+        if pr and "tencrop_top1" in pr:
+            lines += [
+                "",
+                f"Downstream eval on the CoCLR-{mod.upper()} checkpoint: "
+                f"linear probe (`--train_what last`, "
+                f"{pr.get('epochs_run', '?')} epochs, frozen backbone) "
+                f"best val top-1 **{pr.get('best_val_top1', float('nan')):.3f}**"
+                f" (chance {args.chance}), then ten-crop TTA on the held-out "
+                f"groups (`--test ... --ten_crop`): top-1 "
+                f"{pr['tencrop_top1']:.3f}, top-5 {pr['tencrop_top5']:.3f}.",
+            ]
     mg = report["phases"].get("merge_2stream")
     if mg:
         # keep the commentary conditional on the parsed numbers — this file
@@ -172,10 +185,10 @@ def main():
         "",
         "Reading the numbers (MoCo/CoCLR dynamics, not anomalies):",
         "",
-        "- InfoNCE loss *rises* over training while instance acc@1 climbs to",
-        "  hundreds of times the 1/(K+1) chance level: the queue's negatives",
-        "  harden as the key encoder improves (standard MoCo behavior; the",
-        "  signal of record is retrieval).",
+        "- InfoNCE loss *rises* over training while instance acc@1 runs far",
+        "  above the 1/(K+1) chance level: the queue's negatives harden as",
+        "  the key encoder improves (standard MoCo behavior; the signal of",
+        "  record is retrieval).",
     ]
     # the mining-improvement claim is computed, not asserted: state it only
     # for the modalities whose post-mining R@1 actually beats the init
@@ -196,6 +209,19 @@ def main():
         lines += [
             f"- Mining improved retrieval for {improved[0]}; the other "
             f"modality did not improve in this drive (see table).",
+        ]
+    gap = [mod for mod in ("rgb", "flow")
+           if (report["phases"].get(f"probe_{mod}_coclr") or {})
+           .get("best_val_top1", 0) >= args.chance + 0.10
+           and (report["phases"].get(f"probe_{mod}_coclr") or {})
+           .get("tencrop_top1", 1.0) <= args.chance + 0.02]
+    if gap:
+        lines += [
+            f"- Probe val accuracy clears chance ({', '.join(gap)}) while "
+            f"held-out-group TTA sits at it: the linear head overfits "
+            f"group-specific appearance at synthetic scale (val shares "
+            f"groups with train; the TTA test groups are disjoint). The "
+            f"retrieval table above is the held-out signal of record.",
         ]
     lines += [
         "- Self-acc (top-1 == the sibling clip, main_coclr.py:348-359) is",
