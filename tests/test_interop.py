@@ -53,6 +53,37 @@ def test_torch_file_roundtrip(tmp_path):
                                atol=0)
 
 
+@pytest.mark.parametrize("fmt", ["flax", "orbax"])
+def test_converter_cli_from_torch(tmp_path, fmt):
+    """tools/convert_checkpoint.py --from-torch writes a loadable native
+    checkpoint in either backend (--ckpt_format)."""
+    import os
+    import subprocess
+    import sys
+
+    from coclr_tpu.utils.checkpoint import is_orbax_checkpoint, load_checkpoint
+
+    _, state = make_state("infonce")
+    sd = torch_interop.torch_from_moco_state(state, "infonce")
+    src = str(tmp_path / "in.pth.tar")
+    dst = str(tmp_path / "out.ckpt")
+    torch_interop.save_torch_checkpoint(src, sd, epoch=7, best_acc=0.5,
+                                        iteration=123)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_checkpoint.py"),
+         src, dst, "--from-torch", "--model", "infonce", "--net", "tiny",
+         "--moco-dim", str(DIM), "--moco-k", str(K), "--seq_len", str(T),
+         "--img_dim", str(S), "--ckpt_format", fmt],
+        check=True, env=env, cwd=repo, timeout=300)
+    assert is_orbax_checkpoint(dst) == (fmt == "orbax")
+    out = load_checkpoint(dst)
+    assert out["epoch"] == 7
+    np.testing.assert_allclose(np.asarray(out["state"]["queue"]),
+                               np.asarray(state.queue), atol=1e-6)
+
+
 def test_exported_encoder_runs_in_torch_shape():
     """Exported proj-encoder keys follow the reference Sequential grammar
     (encoder_q.0 backbone / .2 / .4 convs) with 5-D conv weights."""

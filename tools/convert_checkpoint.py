@@ -28,6 +28,9 @@ def main():
     p.add_argument("--moco-k", default=2048, type=int)
     p.add_argument("--seq_len", default=32, type=int)
     p.add_argument("--img_dim", default=128, type=int)
+    p.add_argument("--ckpt_format", default="flax", choices=["flax", "orbax"],
+                   help="native format written by --from-torch (reads "
+                        "auto-detect either way)")
     args = p.parse_args()
     if args.to_torch == args.from_torch:
         raise SystemExit("pass exactly one of --to-torch / --from-torch")
@@ -65,7 +68,7 @@ def main():
         save_checkpoint({"epoch": ckpt.get("epoch", 0), "state": state,
                          "opt_state": {}, "best_acc": ckpt.get("best_acc", 0.0),
                          "iteration": ckpt.get("iteration", 0)},
-                        filename=args.dst)
+                        filename=args.dst, fmt=args.ckpt_format)
         print(f"wrote {args.dst}")
 
 
