@@ -15,9 +15,11 @@ from drive_coclr_cycle import parse_epochs, parse_retrieval  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TRAIN_PHASES = ["nce_rgb", "nce_flow", "coclr_flowmining", "coclr_rgbmining"]
+TRAIN_PHASES = ["nce_rgb", "nce_flow", "coclr_flowmining", "coclr_rgbmining",
+                "cycle2_flowmining", "cycle2_rgbmining"]
 RETR_PHASES = ["retrieval_rgb_init", "retrieval_flow_init",
-               "retrieval_rgb_coclr", "retrieval_flow_coclr"]
+               "retrieval_rgb_coclr", "retrieval_flow_coclr",
+               "retrieval_rgb_cycle2", "retrieval_flow_cycle2"]
 
 
 def main():
@@ -209,6 +211,44 @@ def main():
         lines += [
             f"- Mining improved retrieval for {improved[0]}; the other "
             f"modality did not improve in this drive (see table).",
+        ]
+    c2_parts = []
+    for mod in ("rgb", "flow"):
+        v = report["phases"].get(f"retrieval_{mod}_cycle2", {}).get("R@1")
+        if v is None:
+            continue
+        c1 = report["phases"].get(f"retrieval_{mod}_coclr", {}).get("R@1")
+        if c1 is None:
+            c2_parts.append(f"{mod} {v:.3f}")
+            continue
+        # per-measurement binomial sigma at the observed rate, for honest
+        # "moved vs noise" framing of the cycle-2 deltas
+        note = ""
+        if n_q:
+            sig = max(p * (1 - p) / n_q for p in (c1, v)) ** 0.5
+            z = (v - c1) / (sig * 2 ** 0.5)
+            note = f" ({z:+.1f} sigma)"
+        c2_parts.append(f"{mod} {c1:.3f}->{v:.3f}{note}")
+    if c2_parts:
+        lines += [
+            f"- A second mining cycle (the reference's published checkpoints "
+            f"continue cycling) moves held-out R@1: {', '.join(c2_parts)}.",
+        ]
+    # best post-mining checkpoint per modality, stated against chance
+    best_parts = []
+    for mod in ("rgb", "flow"):
+        cands = [report["phases"].get(f"retrieval_{mod}_{suf}", {}).get("R@1")
+                 for suf in ("coclr", "cycle2")]
+        cands = [c for c in cands if c is not None]
+        if not cands or not n_q:
+            continue
+        best = max(cands)
+        z = (best - args.chance) / (args.chance * (1 - args.chance) / n_q) ** 0.5
+        best_parts.append(f"{mod} {best:.3f} ({z:+.1f} sigma)")
+    if best_parts:
+        lines += [
+            f"- Best post-mining retrieval vs chance {args.chance}: "
+            f"{', '.join(best_parts)}.",
         ]
     gap = [mod for mod in ("rgb", "flow")
            if (report["phases"].get(f"probe_{mod}_coclr") or {})
