@@ -53,6 +53,38 @@ def test_parse_retrieval():
     assert got == {"R@1": 0.4167, "R@5": 0.75, "R@10": 1.0}
 
 
+def test_summarizer_multi_cycle(tmp_path, monkeypatch):
+    """cycleN retrieval logs feed per-cycle delta lines and the
+    best-vs-chance line takes the max across all cycles."""
+    logs = tmp_path / "drivelogs"
+    logs.mkdir()
+    (logs / "nce_rgb.log").write_text(LOG)
+    r = {"init": (0.20, 0.10), "coclr": (0.30, 0.25),
+         "cycle2": (0.28, 0.40), "cycle3": (0.26, 0.44)}
+    for suf, (rgb, flow) in r.items():
+        (logs / f"retrieval_rgb_{suf}.log").write_text(
+            f"1NN acc = {rgb:.4f}\n5NN acc = 0.9\n")
+        (logs / f"retrieval_flow_{suf}.log").write_text(
+            f"1NN acc = {flow:.4f}\n5NN acc = 0.9\n")
+    out = tmp_path / "ART"
+    import json
+
+    # a prior report carries the drive config (query-count for sigma notes)
+    out.with_suffix(".json").write_text(json.dumps({"config": {
+        "moco_k": 16, "seq_len": 8, "img_dim": 32, "seed": 1,
+        "n_classes": 2, "test_groups": 2, "n_clips": 2}, "phases": {}}))
+    monkeypatch.setattr(sys, "argv", [
+        "summarize_coclr_drive", "--workdir", str(tmp_path),
+        "--chance", "0.25", "--out_prefix", str(out)])
+    _load("summarize_coclr_drive").main()
+    rep = json.loads((tmp_path / "ART.json").read_text())
+    assert rep["phases"]["retrieval_flow_cycle3"]["R@1"] == 0.44
+    md = (tmp_path / "ART.md").read_text()
+    assert "Mining cycle 2" in md and "Mining cycle 3" in md
+    # best across coclr/cycle2/cycle3, not just the last cycle
+    assert "rgb 0.300" in md and "flow 0.440" in md
+
+
 def test_run_cli_resume_skip(tmp_path):
     """A phase whose saved log shows completion is not re-run (wall None
     marks the resume), but a degenerate 0-progress 'finished' log fails the

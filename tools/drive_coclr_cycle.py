@@ -121,6 +121,18 @@ def main():
                          "n_clips queries) at zero training cost")
     ap.add_argument("--workers", default=8, type=int)
     ap.add_argument("--epochs_probe", default=10, type=int)
+    ap.add_argument("--cycles", default=1, type=int,
+                    help="mining cycles: each runs FlowMining then RGBMining"
+                         " --reverse from the latest checkpoints, then both "
+                         "retrievals (the reference's published checkpoints "
+                         "keep cycling, README.md:148-161)")
+    ap.add_argument("--seed", default=0, type=int,
+                    help="synthetic-data AND training seed — a drive at a "
+                         "different seed is an independent replication")
+    ap.add_argument("--out_prefix", default="DRIVE_coclr_cycle",
+                    help="basename for the <prefix>.json/.md artifacts at "
+                         "the repo root (replication drives must not "
+                         "overwrite the committed primary artifact)")
     ap.add_argument("--skip_downstream", action="store_true",
                     help="stop after the post-cycle retrievals (rounds 1-2 "
                          "behavior; downstream probes/TTA/fusion were manual)")
@@ -144,7 +156,8 @@ def main():
             os.path.join(wd, "gen"), n_classes=args.n_classes,
             n_groups=args.n_groups, n_clips=args.n_clips,
             n_frames=args.seq_len + 16, size=(136, 180), flow=True,
-            content="learnable", seed=0, test_groups=args.test_groups)
+            content="learnable", seed=args.seed,
+            test_groups=args.test_groups)
         os.makedirs(os.path.dirname(db), exist_ok=True)
         os.replace(out["db_path"], db)
         os.replace(out["db_path_flow"], dbf)
@@ -171,6 +184,7 @@ def main():
               "--batch_size", str(args.batch_size),
               "--img_dim", str(args.img_dim), "-j", str(args.workers),
               "--data_root", data_root, "--save_freq", "2",
+              "--seed", str(args.seed),
               "--num_devices", str(args.num_devices)]
     log_dir = os.path.join(wd, "drivelogs")
     report = {"config": vars(args), "phases": {}}
@@ -220,24 +234,41 @@ def main():
     retrieval("retrieval_rgb_init", rgb_init, "ucf101")
     retrieval("retrieval_flow_init", flow_init, "ucf101-f")
 
-    # 3: Cycle1-FlowMining — trains RGB, flow sampler (README.md:42-48)
-    phase("coclr_flowmining", "main_coclr.py",
-          ["--topk", "5", "--dataset", "ucf101-2stream-2clip",
-           "--epochs", str(args.epochs_coclr),
-           "--name_prefix", "Cycle1-FlowMining_", "--prefix", "cyc_cf",
-           "--pretrain", rgb_init, flow_init])
-    rgb_c1 = latest_ckpt(wd, "cyc_cf")
+    # 3+4 (per cycle): CycleN-FlowMining trains RGB with the latest flow
+    # sampler; CycleN-RGBMining (--reverse) trains Flow with the just-mined
+    # RGB (README.md:42-56; published checkpoints keep cycling :148-161).
+    # Cycle-1 tags/prefixes keep their historical names so old workdirs
+    # resume and the committed artifacts stay comparable across rounds.
+    rgb_latest, flow_latest = rgb_init, flow_init
+    for cyc in range(1, args.cycles + 1):
+        if cyc == 1:
+            fm_tag, rm_tag = "coclr_flowmining", "coclr_rgbmining"
+            fm_prefix, rm_prefix, retr = "cyc_cf", "cyc_cr", "coclr"
+        else:
+            fm_tag = f"cycle{cyc}_flowmining"
+            rm_tag = f"cycle{cyc}_rgbmining"
+            fm_prefix, rm_prefix = f"cyc{cyc}_cf", f"cyc{cyc}_cr"
+            retr = f"cycle{cyc}"
+        phase(fm_tag, "main_coclr.py",
+              ["--topk", "5", "--dataset", "ucf101-2stream-2clip",
+               "--epochs", str(args.epochs_coclr),
+               "--name_prefix", f"Cycle{cyc}-FlowMining_",
+               "--prefix", fm_prefix,
+               "--pretrain", rgb_latest, flow_latest])
+        rgb_latest = latest_ckpt(wd, fm_prefix)
 
-    # 4: Cycle1-RGBMining — trains Flow, mined-RGB sampler, --reverse
-    phase("coclr_rgbmining", "main_coclr.py",
-          ["--topk", "5", "--reverse", "--dataset", "ucf101-2stream-2clip",
-           "--epochs", str(args.epochs_coclr),
-           "--name_prefix", "Cycle1-RGBMining_", "--prefix", "cyc_cr",
-           "--pretrain", flow_init, rgb_c1])
-    flow_c1 = latest_ckpt(wd, "cyc_cr")
+        phase(rm_tag, "main_coclr.py",
+              ["--topk", "5", "--reverse",
+               "--dataset", "ucf101-2stream-2clip",
+               "--epochs", str(args.epochs_coclr),
+               "--name_prefix", f"Cycle{cyc}-RGBMining_",
+               "--prefix", rm_prefix,
+               "--pretrain", flow_latest, rgb_latest])
+        flow_latest = latest_ckpt(wd, rm_prefix)
 
-    retrieval("retrieval_rgb_coclr", rgb_c1, "ucf101")
-    retrieval("retrieval_flow_coclr", flow_c1, "ucf101-f")
+        retrieval(f"retrieval_rgb_{retr}", rgb_latest, "ucf101")
+        retrieval(f"retrieval_flow_{retr}", flow_latest, "ucf101-f")
+    rgb_c1, flow_c1 = rgb_latest, flow_latest  # downstream: final ckpts
 
     # 5 (round 3+): the downstream-eval chain on the cycle checkpoints —
     # frozen-backbone linear probe + ten-crop TTA per modality, two-stream
@@ -296,7 +327,7 @@ def main():
 
     report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
     report["chance_R@1"] = round(1.0 / args.n_classes, 4)
-    out_path = os.path.join(REPO, "DRIVE_coclr_cycle.json")
+    out_path = os.path.join(REPO, args.out_prefix + ".json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[drive] report -> {out_path}", flush=True)
@@ -305,7 +336,7 @@ def main():
     # committed artifact)
     subprocess.run([sys.executable,
                     os.path.join(REPO, "tools", "summarize_coclr_drive.py"),
-                    "--workdir", wd,
+                    "--workdir", wd, "--out_prefix", args.out_prefix,
                     "--chance", str(round(1.0 / args.n_classes, 4))],
                    check=True)
     print(json.dumps(report, indent=1), flush=True)

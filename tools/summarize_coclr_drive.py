@@ -15,22 +15,31 @@ from drive_coclr_cycle import parse_epochs, parse_retrieval  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TRAIN_PHASES = ["nce_rgb", "nce_flow", "coclr_flowmining", "coclr_rgbmining",
-                "cycle2_flowmining", "cycle2_rgbmining"]
-RETR_PHASES = ["retrieval_rgb_init", "retrieval_flow_init",
-               "retrieval_rgb_coclr", "retrieval_flow_coclr",
-               "retrieval_rgb_cycle2", "retrieval_flow_cycle2"]
+# cycle 1 keeps its historical tags; later cycles are cycle<N>_* (the drive
+# script's --cycles flag); scan a generous range so deep drives summarize
+MAX_CYCLES = 9
+CYCLE_SUFFIXES = ["coclr"] + [f"cycle{n}" for n in range(2, MAX_CYCLES + 1)]
+TRAIN_PHASES = (["nce_rgb", "nce_flow",
+                 "coclr_flowmining", "coclr_rgbmining"]
+                + [f"cycle{n}_{d}" for n in range(2, MAX_CYCLES + 1)
+                   for d in ("flowmining", "rgbmining")])
+RETR_PHASES = (["retrieval_rgb_init", "retrieval_flow_init"]
+               + [f"retrieval_{m}_{suf}" for suf in CYCLE_SUFFIXES
+                  for m in ("rgb", "flow")])
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/coclr_cycle")
     ap.add_argument("--chance", default=0.25, type=float)
+    ap.add_argument("--out_prefix", default="DRIVE_coclr_cycle",
+                    help="basename of the <prefix>.json/.md artifacts at the "
+                         "repo root (replication drives use their own)")
     args = ap.parse_args()
     logs = os.path.join(args.workdir, "drivelogs")
 
     report = {"phases": {}, "chance_R@1": args.chance}
-    prior = os.path.join(REPO, "DRIVE_coclr_cycle.json")
+    prior = os.path.join(REPO, args.out_prefix + ".json")
     if os.path.exists(prior):
         with open(prior) as f:
             old = json.load(f)
@@ -105,11 +114,13 @@ def main():
              if cfg.get("moco_k") else "at moco-k 2048, seq 32, 128x128")
     n_q = (cfg["n_classes"] * cfg["test_groups"] * cfg["n_clips"]
            if cfg.get("test_groups") else None)
+    seed_note = (f", seed {cfg['seed']}" if cfg.get("seed") is not None
+                 else "")
     lines = ["# CoCLR cycle drive — real chip, learnable synthetic UCF", ""]
     lines += [f"Scripted reference recipe (README.md:28-56 of the reference) "
-              f"{shape}: two InfoNCE inits -> "
-              "Cycle1-FlowMining -> Cycle1-RGBMining (--reverse) -> NN "
-              "retrieval before/after. Produced by tools/drive_coclr_cycle.py;"
+              f"{shape}{seed_note}: two InfoNCE inits -> "
+              "CycleN-FlowMining -> CycleN-RGBMining (--reverse) -> NN "
+              "retrieval per cycle. Produced by tools/drive_coclr_cycle.py;"
               " raw logs in the drive workdir.", ""]
     for tag in TRAIN_PHASES:
         ph = report["phases"].get(tag, {})
@@ -212,33 +223,37 @@ def main():
             f"- Mining improved retrieval for {improved[0]}; the other "
             f"modality did not improve in this drive (see table).",
         ]
-    c2_parts = []
-    for mod in ("rgb", "flow"):
-        v = report["phases"].get(f"retrieval_{mod}_cycle2", {}).get("R@1")
-        if v is None:
-            continue
-        c1 = report["phases"].get(f"retrieval_{mod}_coclr", {}).get("R@1")
-        if c1 is None:
-            c2_parts.append(f"{mod} {v:.3f}")
-            continue
-        # per-measurement binomial sigma at the observed rate, for honest
-        # "moved vs noise" framing of the cycle-2 deltas
-        note = ""
-        if n_q:
-            sig = max(p * (1 - p) / n_q for p in (c1, v)) ** 0.5
-            z = (v - c1) / (sig * 2 ** 0.5)
-            note = f" ({z:+.1f} sigma)"
-        c2_parts.append(f"{mod} {c1:.3f}->{v:.3f}{note}")
-    if c2_parts:
-        lines += [
-            f"- A second mining cycle (the reference's published checkpoints "
-            f"continue cycling) moves held-out R@1: {', '.join(c2_parts)}.",
-        ]
+    for prev_suf, suf in zip(CYCLE_SUFFIXES, CYCLE_SUFFIXES[1:]):
+        c2_parts = []
+        cyc_n = int(suf.replace("cycle", ""))
+        for mod in ("rgb", "flow"):
+            v = report["phases"].get(f"retrieval_{mod}_{suf}", {}).get("R@1")
+            if v is None:
+                continue
+            c1 = report["phases"].get(
+                f"retrieval_{mod}_{prev_suf}", {}).get("R@1")
+            if c1 is None:
+                c2_parts.append(f"{mod} {v:.3f}")
+                continue
+            # per-measurement binomial sigma at the observed rate, for
+            # honest "moved vs noise" framing of the cycle deltas
+            note = ""
+            if n_q:
+                sig = max(p * (1 - p) / n_q for p in (c1, v)) ** 0.5
+                z = (v - c1) / (sig * 2 ** 0.5) if sig else 0.0
+                note = f" ({z:+.1f} sigma)"
+            c2_parts.append(f"{mod} {c1:.3f}->{v:.3f}{note}")
+        if c2_parts:
+            lines += [
+                f"- Mining cycle {cyc_n} (the reference's published "
+                f"checkpoints continue cycling) moves held-out R@1: "
+                f"{', '.join(c2_parts)}.",
+            ]
     # best post-mining checkpoint per modality, stated against chance
     best_parts = []
     for mod in ("rgb", "flow"):
         cands = [report["phases"].get(f"retrieval_{mod}_{suf}", {}).get("R@1")
-                 for suf in ("coclr", "cycle2")]
+                 for suf in CYCLE_SUFFIXES]
         cands = [c for c in cands if c is not None]
         if not cands or not n_q:
             continue
@@ -270,7 +285,7 @@ def main():
         "  queue entries; it turning nonzero late in each CoCLR phase still",
         "  shows the mined-positive objective sharpening instance identity.",
     ]
-    out_md = os.path.join(REPO, "DRIVE_coclr_cycle.md")
+    out_md = os.path.join(REPO, args.out_prefix + ".md")
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(report["phases"], indent=1)[:2000])
