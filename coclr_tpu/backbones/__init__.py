@@ -19,20 +19,26 @@ class TinyBackbone(nn.Module):
     backbones use (conv/BN/pool/stats) at CPU-test speed."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x = BasicConv3d(16, (1, 3, 3), (1, 2, 2), (0, 1, 1), self.dtype,
-                        name="c1")(x, train)
+                        sp_axis=self.sp_axis, name="c1")(x, train)
         x = BasicConv3d(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.dtype,
-                        name="c2")(x, train)
+                        sp_axis=self.sp_axis, name="c2")(x, train)
         return x
 
 
 def select_backbone(network: str, first_channel: int = 3,
-                    dtype=jnp.bfloat16) -> Tuple[nn.Module, dict]:
-    """Return (module, {'feature_size': int}) like the reference registry."""
+                    dtype=jnp.bfloat16,
+                    sp_axis: str | None = None) -> Tuple[nn.Module, dict]:
+    """Return (module, {'feature_size': int}) like the reference registry.
+
+    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) —
+    supported by the S3D family and the tiny test backbone.
+    """
     import os
 
     # COCLR_S2D_STEM=1: exact space-to-depth RGB stem (same canonical
@@ -42,12 +48,16 @@ def select_backbone(network: str, first_channel: int = 3,
     # stem auto-detects raw vs packed input, so eval paths keep working.
     s2d = os.environ.get("COCLR_S2D_STEM") not in (None, "", "0")
     param = {"feature_size": 1024}
+    if sp_axis is not None and network in ("r50", "r3d50"):
+        raise NotImplementedError(
+            "sequence parallelism is implemented for the S3D family "
+            "(--net s3d/s3dg); the ResNet-2d3d bottlenecks are not wired")
     if network == "s3d":
         model = S3D(input_channel=first_channel, gating=False, dtype=dtype,
-                    s2d_stem=s2d)
+                    s2d_stem=s2d, sp_axis=sp_axis)
     elif network == "s3dg":
         model = S3D(input_channel=first_channel, gating=True, dtype=dtype,
-                    s2d_stem=s2d)
+                    s2d_stem=s2d, sp_axis=sp_axis)
     elif network == "r50":
         param["feature_size"] = 2048
         model = r2d3d50(input_channel=first_channel, dtype=dtype)
@@ -57,7 +67,7 @@ def select_backbone(network: str, first_channel: int = 3,
     elif network == "tiny":
         # minimal BN-bearing backbone for fast CPU tests / dry runs
         param["feature_size"] = 32
-        model = TinyBackbone(dtype=dtype)
+        model = TinyBackbone(dtype=dtype, sp_axis=sp_axis)
     else:
         raise ValueError(f"unknown backbone: {network!r}")
     return model, param

@@ -129,11 +129,17 @@ class FoldedBatchNorm(nn.Module):
 
     `dtype` is the apply/compute dtype of the elementwise affine (the
     surrounding conv compute dtype); statistics and parameters are float32.
+
+    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py). When
+    set, batch statistics are pmean'd over it so the statistic scope stays
+    "this data shard's batch, full T" — numerically the unsharded BN, and
+    exactly the per-device-batch semantics MoCo's shuffle-BN relies on.
     """
 
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
@@ -147,14 +153,26 @@ class FoldedBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.sp_axis is not None and not self.is_initializing():
+            # sync over the sp shards of the time axis: E[x], E[x^2] are
+            # means over equal-size shards, so pmean composes them exactly
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            from coclr_tpu.ops.seqpar import sp_pmean
+            mean = sp_pmean(jnp.mean(xf, axis=axes), self.sp_axis)
+            ex2 = sp_pmean(jnp.mean(xf * xf, axis=axes), self.sp_axis)
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
         else:
             mean, var = _batch_stats(x)
+        if not use_running_average:
             if not self.is_initializing():
                 # torch nn.BatchNorm running-var update uses the UNBIASED
                 # n/(n-1) estimator (normalization itself uses the biased
                 # one) — flax uses biased for both; torch semantics are kept
                 # here for eval-mode parity with reference checkpoints.
                 n = x.size // c
+                if self.sp_axis is not None:
+                    n = n * jax.lax.axis_size(self.sp_axis)
                 corr = n / max(n - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
@@ -167,8 +185,8 @@ class FoldedBatchNorm(nn.Module):
         return x.astype(d) * s.astype(d) + o.astype(d)
 
 
-def bn_relu(x, train: bool, dtype, name: str):
+def bn_relu(x, train: bool, dtype, name: str, sp_axis: str | None = None):
     """FoldedBatchNorm + output-keyed ReLU, the backbone's BN+ReLU unit."""
-    x = FoldedBatchNorm(dtype=dtype, name=name)(
+    x = FoldedBatchNorm(dtype=dtype, sp_axis=sp_axis, name=name)(
         x, use_running_average=not train)
     return relu_keyed_on_output(x)

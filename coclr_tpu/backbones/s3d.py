@@ -38,8 +38,13 @@ def _pool_1d_fwd(x, axis: int, k: int, s: int, pad):
                        strides=tuple(st[1:-1]), padding=pd[1:-1])
 
 
-def max_pool_3d(x, window, strides, padding):
+def max_pool_3d(x, window, strides, padding, sp_axis=None):
     """3D max pool over [B, T, H, W, C]; `padding` is per-dim (lo, hi) pairs.
+
+    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) — the
+    temporal 1-D pool then runs VALID on a halo-extended local block
+    (exact tiling; the zero-filled global edges are value-identical to the
+    -inf pad on these post-ReLU inputs, see seqpar.temporal_halo).
 
     Torch MaxPool3d pads with -inf implicitly (s3dg.py:105,151,173,190).
 
@@ -57,35 +62,54 @@ def max_pool_3d(x, window, strides, padding):
     post-ReLU ties (any routing sends gradient to a zero).
     """
     from coclr_tpu.ops import pallas_pool
+    from coclr_tpu.ops.seqpar import temporal_halo
 
     use_pallas = pallas_pool.pool_backward_mode() == "pallas"
     for axis, (k, s, p) in enumerate(zip(window, strides, padding), start=1):
         if k == 1 and s == 1 and tuple(p) == (0, 0):
             continue
+        p = tuple(p)
+        if sp_axis is not None and axis == 1 and (k > 1 or p != (0, 0)):
+            x = temporal_halo(x, p[0], p[1], sp_axis)
+            p = (0, 0)
         if use_pallas:
-            assert tuple(p)[0] == tuple(p)[1]
-            x = pallas_pool.max_pool_1d(x, axis, k, s, tuple(p)[0])
+            assert p[0] == p[1]
+            x = pallas_pool.max_pool_1d(x, axis, k, s, p[0])
         else:
-            x = _pool_1d_fwd(x, axis, k, s, tuple(p))
+            x = _pool_1d_fwd(x, axis, k, s, p)
     return x
 
 
 class BasicConv3d(nn.Module):
-    """Conv3d(bias=False) + BN + ReLU (s3dg.py:8-28)."""
+    """Conv3d(bias=False) + BN + ReLU (s3dg.py:8-28).
+
+    Under sequence parallelism (`sp_axis`) a temporal kernel runs VALID on
+    a halo-extended block (exact, ops/seqpar.py); spatial dims unchanged.
+    """
 
     out_planes: int
     kernel_size: Sequence[int]  # (kt, kh, kw)
     stride: Sequence[int]
     padding: Sequence[int]  # symmetric per-dim
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from coclr_tpu.ops.seqpar import temporal_halo
+
+        # collectives cannot run during init (outside the mesh); param and
+        # stat shapes are T-independent so init with sp off is identical
+        sp = None if self.is_initializing() else self.sp_axis
+        pads = list(self.padding)
+        if sp is not None and (self.kernel_size[0] > 1 or pads[0] > 0):
+            x = temporal_halo(x, pads[0], pads[0], sp)
+            pads[0] = 0
         x = nn.Conv(
             self.out_planes,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.stride),
-            padding=[(p, p) for p in self.padding],
+            padding=[(p, p) for p in pads],
             use_bias=False,
             kernel_init=conv_init,
             dtype=self.dtype,
@@ -93,7 +117,7 @@ class BasicConv3d(nn.Module):
             name="conv",
         )(x)
         # torch momentum=0.1 convention flipped -> momentum 0.9 (default)
-        return bn_relu(x, train, self.dtype, name="bn")
+        return bn_relu(x, train, self.dtype, name="bn", sp_axis=sp)
 
 
 class SpaceToDepthConv(nn.Module):
@@ -195,9 +219,13 @@ class STConv3d(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     s2d_spatial: bool = False  # exact space-to-depth path for the RGB stem
     s2d_in_channels: int = 3   # canonical Cin (input may be pre-packed 4x)
+    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from coclr_tpu.ops.seqpar import temporal_halo
+
+        sp = None if self.is_initializing() else self.sp_axis
         k, p = self.kernel_size, self.padding
         t_stride, s_stride = self.stride
         if self.s2d_spatial and s_stride == 2:
@@ -216,29 +244,40 @@ class STConv3d(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv1",
             )(x)
-        x = bn_relu(x, train, self.dtype, name="bn1")
+        x = bn_relu(x, train, self.dtype, name="bn1", sp_axis=sp)
+        t_pad = (p, p)
+        if sp is not None and (k > 1 or p > 0):
+            x = temporal_halo(x, p, p, sp)
+            t_pad = (0, 0)
         x = nn.Conv(
             self.out_planes,
             kernel_size=(k, 1, 1),
             strides=(t_stride, 1, 1),
-            padding=[(p, p), (0, 0), (0, 0)],
+            padding=[t_pad, (0, 0), (0, 0)],
             use_bias=False,
             kernel_init=conv_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv2",
         )(x)
-        return bn_relu(x, train, self.dtype, name="bn2")
+        return bn_relu(x, train, self.dtype, name="bn2", sp_axis=sp)
 
 
 class SelfGating(nn.Module):
     """S3D-G feature gating: sigmoid(FC(spatiotemporal mean)) * x
-    (s3dg.py:68-78)."""
+    (s3dg.py:68-78). Under sp the spatiotemporal mean composes exactly from
+    per-shard means of the equal-length time chunks."""
+
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
+        from coclr_tpu.ops.seqpar import sp_pmean
+
         # x: [B, T, H, W, C]
         avg = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        avg = sp_pmean(
+            avg, None if self.is_initializing() else self.sp_axis)
         weights = nn.Dense(x.shape[-1], dtype=jnp.float32, name="fc")(avg)
         weights = nn.sigmoid(weights)
         return (weights[:, None, None, None, :] * x.astype(jnp.float32)).astype(x.dtype)
@@ -253,25 +292,29 @@ class SepInception(nn.Module):
     out_planes: Sequence[int]
     gating: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         b0, b1a, b1b, b2a, b2b, b3b = self.out_planes
         d = self.dtype
+        sp = self.sp_axis
+        sp_now = None if self.is_initializing() else sp
 
-        x0 = BasicConv3d(b0, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, name="branch0")(x, train)
-        x1 = BasicConv3d(b1a, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, name="branch1_0")(x, train)
-        x1 = STConv3d(b1b, 3, (1, 1), 1, d, name="branch1_1")(x1, train)
-        x2 = BasicConv3d(b2a, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, name="branch2_0")(x, train)
-        x2 = STConv3d(b2b, 3, (1, 1), 1, d, name="branch2_1")(x2, train)
-        x3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), [(1, 1)] * 3)
-        x3 = BasicConv3d(b3b, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, name="branch3_1")(x3, train)
+        x0 = BasicConv3d(b0, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="branch0")(x, train)
+        x1 = BasicConv3d(b1a, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="branch1_0")(x, train)
+        x1 = STConv3d(b1b, 3, (1, 1), 1, d, sp_axis=sp, name="branch1_1")(x1, train)
+        x2 = BasicConv3d(b2a, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="branch2_0")(x, train)
+        x2 = STConv3d(b2b, 3, (1, 1), 1, d, sp_axis=sp, name="branch2_1")(x2, train)
+        x3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), [(1, 1)] * 3,
+                         sp_axis=sp_now)
+        x3 = BasicConv3d(b3b, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="branch3_1")(x3, train)
 
         if self.gating:
-            x0 = SelfGating(name="gating_b0")(x0)
-            x1 = SelfGating(name="gating_b1")(x1)
-            x2 = SelfGating(name="gating_b2")(x2)
-            x3 = SelfGating(name="gating_b3")(x3)
+            x0 = SelfGating(sp_axis=sp, name="gating_b0")(x0)
+            x1 = SelfGating(sp_axis=sp, name="gating_b1")(x1)
+            x2 = SelfGating(sp_axis=sp, name="gating_b2")(x2)
+            x3 = SelfGating(sp_axis=sp, name="gating_b3")(x3)
 
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
@@ -288,41 +331,51 @@ class S3D(nn.Module):
     # (one-hot s2d conv costs ~3.3ms vs ~0.9ms saved on the C_in=3 convs),
     # kept available for larger-batch / multi-chip configs
     s2d_stem: bool = False
+    # temporal sequence parallelism (ops/seqpar.py): the local T chunk must
+    # be divisible by the total temporal stride (8, or 4 with slow=True)
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        sp = self.sp_axis
+        sp_now = None if self.is_initializing() else sp
         x = x.astype(d)
         if x.shape[-1] == 4 * self.input_channel:
             assert self.s2d_stem, (
                 "pre-packed (space-to-depth) input requires s2d_stem=True")
+        if sp is not None:
+            div = 4 if self.slow else 8
+            assert x.shape[1] % div == 0, (
+                f"sequence-parallel S3D needs the local T chunk ({x.shape[1]})"
+                f" divisible by the total temporal stride {div}")
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
         x = STConv3d(64, 7, (t_stride, 2), 3, d, s2d_spatial=self.s2d_stem,
-                     s2d_in_channels=self.input_channel,
+                     s2d_in_channels=self.input_channel, sp_axis=sp,
                      name="Conv_1a")(x, train)
 
         # block2 (s3dg.py:151-158)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
-        x = BasicConv3d(64, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, name="Conv_2b")(x, train)
-        x = STConv3d(192, 3, (1, 1), 1, d, name="Conv_2c")(x, train)
+        x = BasicConv3d(64, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="Conv_2b")(x, train)
+        x = STConv3d(192, 3, (1, 1), 1, d, sp_axis=sp, name="Conv_2c")(x, train)
 
         # block3 (s3dg.py:162-169)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
-        x = SepInception([64, 96, 128, 16, 32, 32], self.gating, d, name="Mixed_3b")(x, train)
-        x = SepInception([128, 128, 192, 32, 96, 64], self.gating, d, name="Mixed_3c")(x, train)
+        x = SepInception([64, 96, 128, 16, 32, 32], self.gating, d, sp_axis=sp, name="Mixed_3b")(x, train)
+        x = SepInception([128, 128, 192, 32, 96, 64], self.gating, d, sp_axis=sp, name="Mixed_3c")(x, train)
 
         # block4 (s3dg.py:173-186)
-        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1)] * 3)
-        x = SepInception([192, 96, 208, 16, 48, 64], self.gating, d, name="Mixed_4b")(x, train)
-        x = SepInception([160, 112, 224, 24, 64, 64], self.gating, d, name="Mixed_4c")(x, train)
-        x = SepInception([128, 128, 256, 24, 64, 64], self.gating, d, name="Mixed_4d")(x, train)
-        x = SepInception([112, 144, 288, 32, 64, 64], self.gating, d, name="Mixed_4e")(x, train)
-        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, name="Mixed_4f")(x, train)
+        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1)] * 3, sp_axis=sp_now)
+        x = SepInception([192, 96, 208, 16, 48, 64], self.gating, d, sp_axis=sp, name="Mixed_4b")(x, train)
+        x = SepInception([160, 112, 224, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4c")(x, train)
+        x = SepInception([128, 128, 256, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4d")(x, train)
+        x = SepInception([112, 144, 288, 32, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4e")(x, train)
+        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_4f")(x, train)
 
         # block5 (s3dg.py:190-197)
-        x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3)
-        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, name="Mixed_5b")(x, train)
-        x = SepInception([384, 192, 384, 48, 128, 128], self.gating, d, name="Mixed_5c")(x, train)
+        x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3, sp_axis=sp_now)
+        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5b")(x, train)
+        x = SepInception([384, 192, 384, 48, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5c")(x, train)
         return x

@@ -57,6 +57,11 @@ class PretrainConfig:
     aug_backend: str = "auto"           # auto | pallas | xla
     num_devices: int = 0                # 0 = all local devices
     dcn_size: int = 1                   # >1: multi-slice DP over a dcn axis
+    sp_size: int = 1                    # >1: temporal sequence parallelism —
+                                        # clips sharded along T over an `sp`
+                                        # mesh axis (ops/seqpar.py); batch is
+                                        # then sharded over n_dev/sp_size
+                                        # data shards. S3D-family only.
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)
     worker_mode: str = "thread"         # loader workers: thread | process

@@ -31,14 +31,23 @@ def torch_default_bias_init(key, shape, dtype=jnp.float32, fan_in=None):
 
 
 class ProjectionEncoder(nn.Module):
-    """backbone -> global avg pool -> fc1 -> ReLU -> fc2 (dim)."""
+    """backbone -> global avg pool -> fc1 -> ReLU -> fc2 (dim).
+
+    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py). The
+    backbone runs on the local T chunk (halo-exchanged convs/pools); the
+    global average pool composes exactly as a local mean + pmean over sp,
+    so the projection head sees the identical pooled feature on every sp
+    member and the downstream MoCo state stays replicated across sp.
+    """
 
     network: str = "s3d"
     dim: int = 128
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None
 
     def setup(self):
-        self.backbone, self.param = select_backbone(self.network, dtype=self.dtype)
+        self.backbone, self.param = select_backbone(
+            self.network, dtype=self.dtype, sp_axis=self.sp_axis)
         fs = self.param["feature_size"]
         self.fc1 = nn.Dense(
             fs,
@@ -53,12 +62,20 @@ class ProjectionEncoder(nn.Module):
 
     def __call__(self, x, train: bool = False):
         """x: [B, T, H, W, C] video; returns UNNORMALIZED [B, dim] float32."""
+        from coclr_tpu.ops.seqpar import sp_pmean
+
         feat = self.backbone(x, train=train)
         feat = jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))  # [B, fs]
+        feat = sp_pmean(
+            feat, None if self.is_initializing() else self.sp_axis)
         h = nn.relu(self.fc1(feat))
         return self.fc2(h)
 
     def features(self, x, train: bool = False):
         """Pooled backbone features [B, feature_size] (for eval/retrieval)."""
+        from coclr_tpu.ops.seqpar import sp_pmean
+
         feat = self.backbone(x, train=train)
-        return jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))
+        feat = jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))
+        return sp_pmean(
+            feat, None if self.is_initializing() else self.sp_axis)

@@ -21,10 +21,11 @@ except AttributeError:  # pragma: no cover
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"
+SP_AXIS = "sp"  # temporal sequence parallelism (coclr_tpu/ops/seqpar.py)
 
 
 def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
-              dcn_size: int = 1) -> Mesh:
+              dcn_size: int = 1, sp_size: int = 1) -> Mesh:
     """Data-parallel mesh over the first `num_devices` local devices.
 
     dcn_size > 1 adds a leading `dcn` axis for multi-slice DP: a 2-D
@@ -33,26 +34,49 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
     all_gather that way). Collectives span both axes so semantics equal a
     flat `data` axis of the same total size (SURVEY.md §2.9: the reference
     has no multi-node analogue beyond flat NCCL DDP).
+
+    sp_size > 1 adds a TRAILING `sp` axis (innermost = ICI-nearest
+    neighbors, where the per-temporal-conv halo exchanges live) for
+    temporal sequence parallelism: clips are sharded along T, batch along
+    `data`. The reference has no analogue (SURVEY §2.8/§5.7); see
+    coclr_tpu/ops/seqpar.py.
     """
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
     devices = np.asarray(devices)
-    if dcn_size and dcn_size > 1:
-        assert devices.size % dcn_size == 0, \
-            f"{devices.size} devices not divisible by dcn_size={dcn_size}"
+    dcn_size = dcn_size or 1
+    sp_size = sp_size or 1
+    assert devices.size % (dcn_size * sp_size) == 0, (
+        f"{devices.size} devices not divisible by dcn_size*sp_size="
+        f"{dcn_size}*{sp_size}")
+    if dcn_size > 1 and sp_size > 1:
+        return Mesh(devices.reshape(dcn_size, -1, sp_size),
+                    (DCN_AXIS, DATA_AXIS, SP_AXIS))
+    if dcn_size > 1:
         return Mesh(devices.reshape(dcn_size, -1), (DCN_AXIS, DATA_AXIS))
+    if sp_size > 1:
+        return Mesh(devices.reshape(-1, sp_size), (DATA_AXIS, SP_AXIS))
     return Mesh(devices, (DATA_AXIS,))
 
 
 def mesh_axes(mesh: Optional[Mesh]):
-    """The axis-name argument for collectives over `mesh`: None (no mesh),
-    a single name (1-D), or a tuple (multi-slice)."""
+    """The axis-name argument for BATCH collectives over `mesh` (queue
+    all_gather, grad pmean scope in DDP terms): None (no mesh), a single
+    name (1-D), or a tuple (multi-slice). The `sp` axis is excluded — it
+    shards time, not the batch; sp_axis_of() exposes it."""
     if mesh is None:
         return None
-    names = tuple(mesh.axis_names)
+    names = tuple(n for n in mesh.axis_names if n != SP_AXIS)
     return names if len(names) > 1 else names[0]
+
+
+def sp_axis_of(mesh: Optional[Mesh]):
+    """The sequence-parallel axis name if `mesh` has one, else None."""
+    if mesh is not None and SP_AXIS in mesh.axis_names:
+        return SP_AXIS
+    return None
 
 
 def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
@@ -66,5 +90,5 @@ def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
                           check_rep=check_rep)
 
 
-__all__ = ["make_mesh", "mesh_axes", "shard_map_fn", "Mesh", "P",
-           "DATA_AXIS", "DCN_AXIS"]
+__all__ = ["make_mesh", "mesh_axes", "sp_axis_of", "shard_map_fn", "Mesh",
+           "P", "DATA_AXIS", "DCN_AXIS", "SP_AXIS"]

@@ -26,7 +26,8 @@ from jax.sharding import PartitionSpec as P
 from coclr_tpu.config import PretrainConfig
 from coclr_tpu.models import moco
 from coclr_tpu.models.moco import MoCoState
-from coclr_tpu.parallel.mesh import DATA_AXIS, mesh_axes, shard_map_fn
+from coclr_tpu.parallel.mesh import (DATA_AXIS, mesh_axes, shard_map_fn,
+                                     sp_axis_of)
 
 
 def make_optimizer(cfg: PretrainConfig):
@@ -45,7 +46,7 @@ def _split_clips(seq):
 
 def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
                    *, encoder, cfg: PretrainConfig, tx, axis_name,
-                   preprocess_fn):
+                   preprocess_fn, grad_axes=None):
     rng = jax.random.fold_in(rng, 0)
     rng_pre, rng_shuffle, rng_self = jax.random.split(rng, 3)
 
@@ -125,7 +126,11 @@ def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
         loss_fn, has_aux=True)(state.params_q)
 
     if axis_name is not None:
-        grads = jax.lax.pmean(grads, axis_name)
+        # under sequence parallelism grads must ALSO be pmean'd over `sp`:
+        # backbone member grads are sp_size x their true per-member
+        # contribution (head grads replicated) — see ops/seqpar.py and
+        # tests/test_seqpar.py::test_sp_grads_pmean_combine_is_exact
+        grads = jax.lax.pmean(grads, grad_axes or axis_name)
 
     updates, new_opt_state = tx.update(grads, opt_state, state.params_q)
     new_params_q = optax.apply_updates(
@@ -179,21 +184,46 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     round-trip of the batch (~0.3ms) per step."""
     tx = make_optimizer(cfg)
     axis_name = mesh_axes(mesh)  # 'data', ('dcn','data'), or None
+    sp = sp_axis_of(mesh)        # temporal sequence parallelism, or None
+    enc_sp = getattr(encoder, "sp_axis", None)
+    assert enc_sp == sp, (
+        f"encoder.sp_axis={enc_sp!r} but the mesh's sp axis is {sp!r}: "
+        "construct the encoder with sp_axis=sp_axis_of(mesh)")
+    grad_axes = tuple(mesh.axis_names) if mesh is not None else None
     batch_spec = P(axis_name) if mesh is not None else None
     split = preprocess_fn is not None and not fuse_preprocess
     fn = functools.partial(
         _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
-        axis_name=axis_name,
+        axis_name=axis_name, grad_axes=grad_axes,
         preprocess_fn=None if split else preprocess_fn)
 
-    if mesh is not None:
-        fn = shard_map_fn(
-            fn, mesh,
-            in_specs=(P(), P(), batch_spec, P(), P()),
-            out_specs=(P(), P(), P()),
-        )
     donate_argnums = (0, 1) if donate else ()
-    step = jax.jit(fn, donate_argnums=donate_argnums)
+    if mesh is not None and sp is not None:
+        # clip leaves [b, 2, T, H, W, C] are sharded along T over `sp`;
+        # 1-D leaves (label/vname) replicate over sp. The spec pytree must
+        # mirror the batch dict, which make_pretrain_step never sees — so
+        # the shard_map+jit is built lazily per batch structure.
+        built = {}
+        base_fn = fn
+
+        def step(state, opt_state, batch, rng, lr):
+            sig = tuple(sorted((k, batch[k].ndim) for k in batch))
+            if sig not in built:
+                specs = {k: (P(axis_name, None, sp) if batch[k].ndim >= 3
+                             else P(axis_name)) for k in batch}
+                f = shard_map_fn(base_fn, mesh,
+                                 in_specs=(P(), P(), specs, P(), P()),
+                                 out_specs=(P(), P(), P()))
+                built[sig] = jax.jit(f, donate_argnums=donate_argnums)
+            return built[sig](state, opt_state, batch, rng, lr)
+    else:
+        if mesh is not None:
+            fn = shard_map_fn(
+                fn, mesh,
+                in_specs=(P(), P(), batch_spec, P(), P()),
+                out_specs=(P(), P(), P()),
+            )
+        step = jax.jit(fn, donate_argnums=donate_argnums)
     if not split:
         return step, tx
 

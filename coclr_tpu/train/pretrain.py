@@ -168,16 +168,22 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     enable_compilation_cache()
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
-    mesh = make_mesh(cfg.num_devices, dcn_size=cfg.dcn_size) \
-        if n_dev > 1 else None
-    global_batch = cfg.batch_size * n_dev
+    sp_size = cfg.sp_size if n_dev > 1 else 1
+    mesh = make_mesh(cfg.num_devices, dcn_size=cfg.dcn_size,
+                     sp_size=sp_size) if n_dev > 1 else None
+    # under sequence parallelism the batch is sharded over the data shards
+    # only; each sp group of sp_size devices holds one batch shard's clips
+    # split along T (coclr_tpu/ops/seqpar.py)
+    global_batch = cfg.batch_size * (n_dev // sp_size)
     assert cfg.moco_k % global_batch == 0, \
         f"moco_k={cfg.moco_k} must be divisible by global batch {global_batch}"
 
     print(f"=> creating {cfg.model} model with '{cfg.net}' backbone "
-          f"on {n_dev} device(s)")
+          f"on {n_dev} device(s)"
+          + (f" (sequence-parallel x{sp_size})" if sp_size > 1 else ""))
+    from coclr_tpu.parallel.mesh import sp_axis_of
     encoder = ProjectionEncoder(network=cfg.net, dim=cfg.moco_dim,
-                                dtype=cfg.dtype)
+                                dtype=cfg.dtype, sp_axis=sp_axis_of(mesh))
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, cfg.seq_len, cfg.img_dim, cfg.img_dim, 3),
                        jnp.float32)

@@ -61,6 +61,9 @@ def parse_args():
     parser.add_argument('--num_devices', default=0, type=int)
     parser.add_argument('--dcn_size', default=1, type=int,
                         help='multi-slice data parallelism: slices over DCN')
+    parser.add_argument('--sp_size', default=1, type=int,
+                        help='temporal sequence parallelism: clips sharded '
+                             'along T over an sp mesh axis (S3D family)')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'],
@@ -93,6 +96,7 @@ def cfg_from_args(args) -> PretrainConfig:
         aug_order=args.aug_order,
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
+        sp_size=args.sp_size,
         data_root=args.data_root, cos=args.cos,
         worker_mode=args.worker_mode, profile_steps=args.profile_steps,
         ckpt_format=args.ckpt_format)

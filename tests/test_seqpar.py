@@ -1,0 +1,293 @@
+"""Temporal sequence parallelism (SP): halo exchange, exact-transpose
+pmean, SP-sharded backbones/encoders/steps vs their unsharded twins.
+
+The reference has no sequence parallelism (SURVEY §2.8/§5.7); SP is the
+TPU-native long-clip extension, so the contract here is numerical
+equivalence with the unsharded program, not reference parity.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from coclr_tpu.ops.seqpar import SP_AXIS, sp_pmean, temporal_halo
+from coclr_tpu.parallel.mesh import shard_map_fn
+
+
+def test_temporal_halo_matches_global_slices():
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]), (SP_AXIS,))
+    x = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+
+    fn = shard_map_fn(lambda a: temporal_halo(a, 2, 1, SP_AXIS), mesh,
+                      in_specs=P(None, SP_AXIS), out_specs=P(None, SP_AXIS))
+    out = np.asarray(fn(x))  # [2, 4*(4+3), 3] — shards concatenated
+
+    xp = np.pad(np.asarray(x), ((0, 0), (2, 1), (0, 0)))  # global zero pad
+    t_loc = 4
+    for i in range(n):
+        got = out[:, i * (t_loc + 3):(i + 1) * (t_loc + 3)]
+        want = xp[:, i * t_loc:i * t_loc + t_loc + 3]
+        np.testing.assert_array_equal(got, want)
+
+
+def _encoder_equiv(network, b, t, hw, sp, dtype=jnp.float32, tol=1e-5):
+    """ProjectionEncoder under an sp mesh == unsharded in TRAIN mode:
+    outputs, updated BN batch_stats, and pmean-combined grads, to f32
+    tolerance. Only well-conditioned nets can be asserted this way (see
+    test_s3d_encoder_sp_equivalence for why full S3D cannot)."""
+    from coclr_tpu.models.encoder import ProjectionEncoder
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (b, t, hw, hw, 3), jnp.float32)
+
+    enc_ref = ProjectionEncoder(network=network, dim=8, dtype=dtype)
+    variables = enc_ref.init(jax.random.PRNGKey(0), x[:1, :8])
+
+    def fwd_loss(params, stats, x, enc):
+        (out, mut) = enc.apply({"params": params, "batch_stats": stats},
+                               x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2), (out, mut["batch_stats"])
+
+    def run_ref(params, stats, x):
+        return jax.value_and_grad(fwd_loss, has_aux=True)(
+            params, stats, x, enc_ref)
+
+    (l_ref, (out_ref, stats_ref)), g_ref = jax.jit(run_ref)(
+        variables["params"], variables["batch_stats"], x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:sp]), (SP_AXIS,))
+    enc_sp = ProjectionEncoder(network=network, dim=8, dtype=dtype,
+                               sp_axis=SP_AXIS)
+
+    def member(params, stats, x):
+        (l, (out, new_stats)), g = jax.value_and_grad(
+            fwd_loss, has_aux=True)(params, stats, x, enc_sp)
+        g = jax.tree_util.tree_map(
+            lambda a: jax.lax.pmean(a, SP_AXIS), g)
+        return l, out, new_stats, g
+
+    l_sp, out_sp, stats_sp, g_sp = shard_map_fn(
+        member, mesh,
+        in_specs=(P(), P(), P(None, SP_AXIS)),
+        out_specs=(P(), P(), P(), P()))(
+            variables["params"], variables["batch_stats"], x)
+
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
+                               rtol=tol, atol=tol)
+    for a, b_ in zip(jax.tree_util.tree_leaves(stats_sp),
+                     jax.tree_util.tree_leaves(stats_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=tol, atol=tol)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_sp),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tiny_encoder_sp_equivalence():
+    _encoder_equiv("tiny", b=2, t=8, hw=8, sp=4)
+
+
+def test_s3d_encoder_sp_equivalence():
+    """S3DG under sp == unsharded, asserted TIGHT in eval mode (atol 1e-5;
+    measured 6e-19 for the backbone): BN statistics are frozen constants,
+    so this pins the entire halo'd conv/pool/stride/gating composition
+    exactly — every temporal halo exchange, VALID conv tiling, stride-2
+    pool alignment and SelfGating sp_pmean in the real S3D topology.
+    Gradients (through ppermute transposes + VALID convs + pools) are
+    asserted the same way.
+
+    Train mode is NOT tightly comparable for full-size S3D at test scale,
+    and that is a property of the CONFIG, not the SP code: batch-stat
+    samples shrink to 2 values by Mixed_5b (B=1, 1x1 spatial, T=2), and
+    normalization amplifies f32 stat-reduction rounding through 13 BN
+    layers — the UNSHARDED program differs from itself by 0.96 max abs
+    under COCLR_BN_STATS=dot vs fused (two equally valid orders; SP's
+    mean-of-local-means over `sp` is a third). Train-mode exactness of the
+    sp-synced BN is proven on the well-conditioned tiny net
+    (test_tiny_encoder_sp_equivalence) and end-to-end through the
+    production step (test_sp_full_step_equivalence)."""
+    from coclr_tpu.models.encoder import ProjectionEncoder
+
+    b, t, hw, sp = 1, 16, 32, 2
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (b, t, hw, hw, 3), jnp.float32)
+
+    enc_ref = ProjectionEncoder(network="s3dg", dim=8, dtype=jnp.float32)
+    variables = enc_ref.init(jax.random.PRNGKey(0), x[:1, :8])
+
+    def make_loss(enc):
+        def loss_out(variables, x):
+            out = enc.apply(variables, x, train=False)
+            return jnp.sum(out ** 2), out
+        return loss_out
+
+    (l_ref, out_ref), g_ref = jax.jit(jax.value_and_grad(
+        make_loss(enc_ref), has_aux=True))(variables, x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:sp]), (SP_AXIS,))
+    enc_sp = ProjectionEncoder(network="s3dg", dim=8, dtype=jnp.float32,
+                               sp_axis=SP_AXIS)
+
+    def member(variables, x):
+        (l, out), g = jax.value_and_grad(make_loss(enc_sp), has_aux=True)(
+            variables, x)
+        g = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, SP_AXIS), g)
+        return l, out, g
+
+    l_sp, out_sp, g_sp = shard_map_fn(
+        member, mesh, in_specs=(P(), P(None, SP_AXIS)),
+        out_specs=(P(), P(), P()))(variables, x)
+
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_sp),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sp_full_step_equivalence():
+    """One full InfoNCE pretrain step on a (data=2, sp=2) mesh equals the
+    (data=2) step on the same global batch — params, queue, BN stats,
+    metrics — to f32 tolerance. This is the SP contract end to end: halo'd
+    convs/pools, sp-synced BN, pooled-feature pmean, grads pmean over
+    (data, sp), replicated MoCo state updates."""
+    from coclr_tpu.config import PretrainConfig
+    from coclr_tpu.models import moco as moco_mod
+    from coclr_tpu.models.encoder import ProjectionEncoder
+    from coclr_tpu.parallel import make_mesh, make_pretrain_step
+    from coclr_tpu.parallel.train_step import make_optimizer
+
+    DIM, K, T, HW = 16, 64, 8, 16
+    cfg = PretrainConfig(net="tiny", moco_dim=DIM, moco_k=K,
+                         compute_dtype="float32", seq_len=T, img_dim=HW,
+                         batch_size=2, model="infonce")
+    enc = ProjectionEncoder(network="tiny", dim=DIM, dtype=jnp.float32)
+    enc_sp = ProjectionEncoder(network="tiny", dim=DIM, dtype=jnp.float32,
+                               sp_axis=SP_AXIS)
+    state0 = moco_mod.init_moco_state(
+        jax.random.PRNGKey(0), enc, "infonce",
+        jnp.zeros((1, T, HW, HW, 3), jnp.float32), dim=DIM, K=K)
+
+    # SGD-style steps (identity optax chain: update = -lr * grad) through
+    # the SAME production inner step (_pretrain_step): param drift is then
+    # LINEAR in any gradient error, so a tight tolerance directly asserts
+    # gradient equivalence. (Adam's g/sqrt(v) amplifies f32 reduction-order
+    # noise ~1e-7 into percent-level updates at near-zero-grad coordinates,
+    # so the production optimizer cannot be compared tightly over steps.)
+    import functools
+
+    import optax
+
+    from coclr_tpu.parallel import train_step as ts
+    from coclr_tpu.parallel.mesh import mesh_axes
+
+    def build(enc_, mesh, sp):
+        axis_name = mesh_axes(mesh)
+        fn = functools.partial(
+            ts._pretrain_step, encoder=enc_, cfg=cfg, tx=optax.identity(),
+            axis_name=axis_name, grad_axes=tuple(mesh.axis_names),
+            preprocess_fn=None)
+        if sp:
+            specs = {"seq": P(axis_name, None, SP_AXIS)}
+        else:
+            specs = {"seq": P(axis_name)}
+        return jax.jit(shard_map_fn(
+            fn, mesh, in_specs=(P(), P(), specs, P(), P()),
+            out_specs=(P(), P(), P())))
+
+    step_dp = build(enc, make_mesh(2), sp=False)
+    step_sp = build(enc_sp, make_mesh(4, sp_size=2), sp=True)
+    opt0 = optax.identity().init(state0.params_q)
+
+    s_dp, o_dp = state0, opt0
+    s_sp, o_sp = state0, opt0
+    for i in range(3):
+        r = np.random.RandomState(i)
+        batch = {"seq": jnp.asarray(
+            r.rand(4, 2, T, HW, HW, 3).astype(np.float32))}
+        rng = jax.random.PRNGKey(100 + i)
+        s_dp, o_dp, m_dp = step_dp(s_dp, o_dp, batch, rng, 1e-2)
+        s_sp, o_sp, m_sp = step_sp(s_sp, o_sp, batch, rng, 1e-2)
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    for name in ("params_q", "params_k", "stats_q", "stats_k"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(s_sp, name)),
+                        jax.tree_util.tree_leaves(getattr(s_dp, name))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sp.queue),
+                               np.asarray(s_dp.queue), rtol=1e-4, atol=1e-5)
+    assert int(s_sp.queue_ptr) == int(s_dp.queue_ptr)
+
+    # the production builder (make_pretrain_step, Adam) on the sp mesh:
+    # one step must reproduce the dp step's pre-update-derived quantities
+    # (loss/metrics, enqueued keys, BN stats) tightly
+    pstep_dp, tx = make_pretrain_step(enc, cfg, make_mesh(2), None,
+                                      donate=False)
+    pstep_sp, _ = make_pretrain_step(enc_sp, cfg, make_mesh(4, sp_size=2),
+                                     None, donate=False)
+    padam0 = jax.jit(tx.init)(state0.params_q)
+    r = np.random.RandomState(7)
+    batch = {"seq": jnp.asarray(r.rand(4, 2, T, HW, HW, 3)
+                                .astype(np.float32))}
+    a_dp, _, am_dp = pstep_dp(state0, padam0, batch, jax.random.PRNGKey(9),
+                              1e-3)
+    a_sp, _, am_sp = pstep_sp(state0, padam0, batch, jax.random.PRNGKey(9),
+                              1e-3)
+    np.testing.assert_allclose(float(am_sp["loss"]), float(am_dp["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_sp.queue),
+                               np.asarray(a_dp.queue), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(a_sp.stats_q),
+                    jax.tree_util.tree_leaves(a_dp.stats_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sp_grads_pmean_combine_is_exact():
+    """The SP gradient contract: per-member jax.grad through sp collectives,
+    then ONE pmean over sp, equals the unsharded gradient — for BOTH the
+    member-local "backbone" parameters (including the cross-member terms a
+    BatchNorm-like statistic introduces) and the redundantly-replicated
+    "head" parameters. This is the property the sp train step relies on; if
+    a JAX version changes collective transpose semantics under
+    check_rep/check_vma=False, this test catches it."""
+    ns = 4
+    mesh = Mesh(np.asarray(jax.devices()[:ns]), (SP_AXIS,))
+
+    def model_loss(params, x, sp=None):
+        W, V = params
+        h = jax.nn.relu(jnp.einsum("btc,cd->btd", x, W))
+        mu = jnp.mean(h, axis=(0, 1))        # BN-like stat over (B, T)
+        mu = sp_pmean(mu, sp)
+        h = h - mu                            # stat feeds back into h
+        feat = sp_pmean(jnp.mean(h, axis=1), sp)  # global mean pool over T
+        return jnp.mean((feat @ V) ** 2)      # replicated head
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 3))
+    params = (jax.random.normal(jax.random.fold_in(key, 1), (3, 3)),
+              jax.random.normal(jax.random.fold_in(key, 2), (3,)))
+
+    g_ref = jax.grad(model_loss)(params, x)
+
+    def member(params, x):
+        g = jax.grad(model_loss)(params, x, sp=SP_AXIS)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.pmean(a, SP_AXIS), g)
+
+    g_sp = shard_map_fn(member, mesh, in_specs=(P(), P(None, SP_AXIS)),
+                        out_specs=P())(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -73,6 +73,16 @@ def run_cli(tag, args_list, cwd, log_dir, done_marker=None, validate=None):
     if p.returncode != 0:
         print(text[-4000:], flush=True)
         raise RuntimeError(f"{tag} failed (rc={p.returncode}); log {log_file}")
+    if validate is not None and not validate(text):
+        # a 0-video join (stale workdir data, wrong split metadata) exits 0
+        # and prints "finished" after 0-step epochs — that is a failure, not
+        # a result; stop the drive instead of training downstream phases on
+        # garbage checkpoints (bit a round-3 relaunch into a stale /tmp
+        # workdir: every phase "completed" in under a minute)
+        print(text[-2000:], flush=True)
+        raise RuntimeError(
+            f"{tag} completed degenerately (0 progress lines); stale "
+            f"workdir data or wrong split metadata? log {log_file}")
     print(f"[drive] {tag} done in {wall/60:.1f} min", flush=True)
     return text, wall
 
