@@ -37,7 +37,7 @@ def select_backbone(network: str, first_channel: int = 3,
     """Return (module, {'feature_size': int}) like the reference registry.
 
     `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) —
-    supported by the S3D family and the tiny test backbone.
+    supported by every registered backbone.
     """
     import os
 
@@ -48,10 +48,6 @@ def select_backbone(network: str, first_channel: int = 3,
     # stem auto-detects raw vs packed input, so eval paths keep working.
     s2d = os.environ.get("COCLR_S2D_STEM") not in (None, "", "0")
     param = {"feature_size": 1024}
-    if sp_axis is not None and network in ("r50", "r3d50"):
-        raise NotImplementedError(
-            "sequence parallelism is implemented for the S3D family "
-            "(--net s3d/s3dg); the ResNet-2d3d bottlenecks are not wired")
     if network == "s3d":
         model = S3D(input_channel=first_channel, gating=False, dtype=dtype,
                     s2d_stem=s2d, sp_axis=sp_axis)
@@ -60,10 +56,12 @@ def select_backbone(network: str, first_channel: int = 3,
                     s2d_stem=s2d, sp_axis=sp_axis)
     elif network == "r50":
         param["feature_size"] = 2048
-        model = r2d3d50(input_channel=first_channel, dtype=dtype)
+        model = r2d3d50(input_channel=first_channel, dtype=dtype,
+                        sp_axis=sp_axis)
     elif network == "r3d50":
         param["feature_size"] = 2048
-        model = r3d50(input_channel=first_channel, dtype=dtype)
+        model = r3d50(input_channel=first_channel, dtype=dtype,
+                      sp_axis=sp_axis)
     elif network == "tiny":
         # minimal BN-bearing backbone for fast CPU tests / dry runs
         param["feature_size"] = 32

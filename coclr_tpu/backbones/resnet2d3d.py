@@ -9,6 +9,14 @@ The final block omits its last ReLU and the network re-applies ReLU at the end
 Initializers per the reference: kaiming normal fan_out for convs
 (resnet_2d3d.py:150-153), BN gamma=1 beta=0 (:154-156).
 Layout [B, T, H, W, C]; bf16 conv compute / f32 params+BN.
+
+`sp_axis` (temporal sequence parallelism, ops/seqpar.py — no reference
+counterpart): only the stem conv (k_t=5, stride 2, pad 2) and the 3D
+bottlenecks' conv1 (k_t=3, pad 1) touch time; each halo-exchanges its pad
+width and runs VALID on the local block. Temporal strides elsewhere
+(downsample/conv2) are always 1 in both published configs, and the max
+pool is spatial-only, so no other site communicates. Requires the local
+T chunk even (stem stride 2): T % (2*sp) == 0.
 """
 
 from __future__ import annotations
@@ -39,8 +47,8 @@ def _conv(out, kernel, stride, padding, dtype, name):
     )
 
 
-def _bn(train, name, dtype):
-    bn = FoldedBatchNorm(dtype=dtype, name=name)
+def _bn(train, name, dtype, sp_axis=None):
+    bn = FoldedBatchNorm(dtype=dtype, sp_axis=sp_axis, name=name)
     return lambda x: bn(x, use_running_average=not train)
 
 
@@ -58,34 +66,45 @@ class Bottleneck(nn.Module):
     stride: Tuple[int, int] = (1, 1)  # (temporal, spatial) of downsample/conv2
     use_final_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from coclr_tpu.ops.seqpar import temporal_halo
+
         d = self.dtype
         expansion = 4
         st, ss = self.stride
         in_planes = x.shape[-1]
         out_planes = self.planes * expansion
+        sp = None if self.is_initializing() else self.sp_axis
 
         if self.is_3d:
-            h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (1, 0, 0), d, "conv1")(x)
+            if sp is not None:
+                # halo the (3,1,1) conv's pad width; run VALID locally
+                h = temporal_halo(x, 1, 1, sp)
+                h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (0, 0, 0), d,
+                          "conv1")(h)
+            else:
+                h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (1, 0, 0), d,
+                          "conv1")(x)
         else:
             h = _conv(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv1")(x)
-        h = bn_relu(h, train, d, name="bn1")
+        h = bn_relu(h, train, d, name="bn1", sp_axis=sp)
 
         # conv2 spatial (1,3,3); spatial stride only (resnet_2d3d.py:56,99)
         h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 1, 1), d, "conv2")(h)
-        h = bn_relu(h, train, d, name="bn2")
+        h = bn_relu(h, train, d, name="bn2", sp_axis=sp)
 
         h = _conv(out_planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv3")(h)
-        h = _bn(train, "bn3", d)(h)
+        h = _bn(train, "bn3", d, sp_axis=sp)(h)
 
         if (st, ss) != (1, 1) or in_planes != out_planes:
             # 1x1x1 conv with the customized (t,s,s) stride + BN
             # (resnet_2d3d.py:173-176)
             residual = _conv(out_planes, (1, 1, 1), (st, ss, ss), (0, 0, 0), d,
                              "downsample_conv")(x)
-            residual = _bn(train, "downsample_bn", d)(residual)
+            residual = _bn(train, "downsample_bn", d, sp_axis=sp)(residual)
         else:
             residual = x
 
@@ -103,14 +122,27 @@ class ResNet2d3d(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     input_channel: int = 3
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from coclr_tpu.ops.seqpar import temporal_halo
+
         d = self.dtype
         x = x.astype(d)
+        sp = None if self.is_initializing() else self.sp_axis
 
-        x = _conv(64, (5, 7, 7), (2, 2, 2), (2, 3, 3), d, "conv1")(x)
-        x = bn_relu(x, train, d, name="bn1")
+        if sp is not None:
+            # stem (k_t=5, pad 2, stride 2): local T chunk must tile the
+            # stride for the halo'd VALID conv to be exact (seqpar.py)
+            assert x.shape[1] % 2 == 0, (
+                f"sequence parallelism needs the local T chunk even for the "
+                f"stride-2 stem; got T/sp={x.shape[1]}")
+            x = temporal_halo(x, 2, 2, sp)
+            x = _conv(64, (5, 7, 7), (2, 2, 2), (0, 3, 3), d, "conv1")(x)
+        else:
+            x = _conv(64, (5, 7, 7), (2, 2, 2), (2, 3, 3), d, "conv1")(x)
+        x = bn_relu(x, train, d, name="bn1", sp_axis=sp)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
 
         planes = (64, 128, 256, 512)
@@ -132,19 +164,24 @@ class ResNet2d3d(nn.Module):
                     stride=stride,
                     use_final_relu=use_final_relu,
                     dtype=d,
+                    sp_axis=self.sp_axis,
                     name=f"layer{li + 1}_{bi}",
                 )(x, train)
 
         return nn.relu(x)  # forward re-applies ReLU (resnet_2d3d.py:202)
 
 
-def r2d3d50(input_channel: int = 3, dtype=jnp.bfloat16) -> ResNet2d3d:
+def r2d3d50(input_channel: int = 3, dtype=jnp.bfloat16,
+            sp_axis: str | None = None) -> ResNet2d3d:
     """CVRL ResNet-50: 2D,2D,3D,3D bottlenecks (resnet_2d3d.py:206-210)."""
     return ResNet2d3d(blocks_3d=(False, False, True, True), layers=(3, 4, 6, 3),
-                      input_channel=input_channel, dtype=dtype)
+                      input_channel=input_channel, dtype=dtype,
+                      sp_axis=sp_axis)
 
 
-def r3d50(input_channel: int = 3, dtype=jnp.bfloat16) -> ResNet2d3d:
+def r3d50(input_channel: int = 3, dtype=jnp.bfloat16,
+          sp_axis: str | None = None) -> ResNet2d3d:
     """Full ResNet3D-50 (resnet_2d3d.py:213-217)."""
     return ResNet2d3d(blocks_3d=(True, True, True, True), layers=(3, 4, 6, 3),
-                      input_channel=input_channel, dtype=dtype)
+                      input_channel=input_channel, dtype=dtype,
+                      sp_axis=sp_axis)

@@ -59,7 +59,7 @@ def parse_args():
                         help='multi-slice data parallelism: slices over DCN')
     parser.add_argument('--sp_size', default=1, type=int,
                         help='temporal sequence parallelism: clips sharded '
-                             'along T over an sp mesh axis (S3D family)')
+                             'along T over an sp mesh axis (all backbones)')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'],

@@ -112,13 +112,27 @@ def test_s3d_encoder_sp_equivalence():
     sp-synced BN is proven on the well-conditioned tiny net
     (test_tiny_encoder_sp_equivalence) and end-to-end through the
     production step (test_sp_full_step_equivalence)."""
+    _eval_mode_encoder_equiv("s3dg")
+
+
+def test_r50_encoder_sp_equivalence():
+    """ResNet-2d3d-50 under sp == unsharded (eval-mode forward + grads):
+    pins the halo'd stride-2 stem (k_t=5, pad 2), the 3D bottlenecks'
+    halo'd (3,1,1) convs, and the residual/downsample composition. Same
+    eval-mode rationale as test_s3d_encoder_sp_equivalence. hw=16 (vs 32
+    for S3D): the temporal-halo structure under test is independent of
+    spatial size, and r50 grads at hw=32 cost ~9 min of suite time."""
+    _eval_mode_encoder_equiv("r50", hw=16)
+
+
+def _eval_mode_encoder_equiv(network, hw=32):
     from coclr_tpu.models.encoder import ProjectionEncoder
 
-    b, t, hw, sp = 1, 16, 32, 2
+    b, t, sp = 1, 16, 2
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (b, t, hw, hw, 3), jnp.float32)
 
-    enc_ref = ProjectionEncoder(network="s3dg", dim=8, dtype=jnp.float32)
+    enc_ref = ProjectionEncoder(network=network, dim=8, dtype=jnp.float32)
     variables = enc_ref.init(jax.random.PRNGKey(0), x[:1, :8])
 
     def make_loss(enc):
@@ -131,7 +145,7 @@ def test_s3d_encoder_sp_equivalence():
         make_loss(enc_ref), has_aux=True))(variables, x)
 
     mesh = Mesh(np.asarray(jax.devices()[:sp]), (SP_AXIS,))
-    enc_sp = ProjectionEncoder(network="s3dg", dim=8, dtype=jnp.float32,
+    enc_sp = ProjectionEncoder(network=network, dim=8, dtype=jnp.float32,
                                sp_axis=SP_AXIS)
 
     def member(variables, x):
