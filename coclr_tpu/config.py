@@ -108,6 +108,9 @@ class EvalConfig:
 
     compute_dtype: str = "bfloat16"
     num_devices: int = 0
+    sp_size: int = 1                    # >1: temporal sequence parallelism
+                                        # for the finetune/probe train+eval
+                                        # steps (see PretrainConfig.sp_size)
     decode_size: Tuple[int, int] = (136, 180)
     data_root: str = ""
     worker_mode: str = "thread"         # loader workers: thread | process

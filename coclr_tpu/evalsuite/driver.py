@@ -54,7 +54,8 @@ def set_path(cfg: EvalConfig):
     return img_path, model_path, exp_path
 
 
-def build_model(cfg: EvalConfig) -> LinearClassifier:
+def build_model(cfg: EvalConfig, sp_axis: Optional[str] = None
+                ) -> LinearClassifier:
     """train_what policy (eval/main_classifier.py:101-109)."""
     if cfg.train_what == "last":
         final_bn, final_norm, use_dropout = True, True, False
@@ -63,7 +64,8 @@ def build_model(cfg: EvalConfig) -> LinearClassifier:
     return LinearClassifier(
         num_class=NUM_CLASS[cfg.dataset], network=cfg.net,
         dropout=cfg.dropout, use_dropout=use_dropout,
-        use_l2_norm=final_norm, use_final_bn=final_bn, dtype=cfg.dtype)
+        use_l2_norm=final_norm, use_final_bn=final_bn, dtype=cfg.dtype,
+        sp_axis=sp_axis)
 
 
 def build_eval_dataset(cfg: EvalConfig, mode: str, root: Optional[str] = None,
@@ -140,10 +142,15 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
     n_dev = len(jax.devices())
     if cfg.num_devices:
         n_dev = min(n_dev, cfg.num_devices)
-    mesh = make_mesh(cfg.num_devices) if n_dev > 1 else None
-    global_batch = cfg.batch_size * n_dev
+    sp_size = cfg.sp_size if n_dev > 1 else 1
+    mesh = make_mesh(cfg.num_devices, sp_size=sp_size) if n_dev > 1 else None
+    # under sequence parallelism the batch shards over the data axis only;
+    # each sp group of sp_size devices splits one batch shard along T
+    n_data = n_dev // sp_size
+    global_batch = cfg.batch_size * n_data
 
-    model = build_model(cfg)
+    from coclr_tpu.parallel.mesh import sp_axis_of
+    model = build_model(cfg, sp_axis=sp_axis_of(mesh))
     state = init_classifier_state(cfg, model)
     train_step, eval_step, tx = make_classifier_steps(model, cfg, mesh)
     opt_state = jax.jit(tx.init)(state.params)
@@ -215,8 +222,8 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
         vmeters = {n: AverageMeter(n) for n in ("Loss", "acc@1", "acc@5")}
         for vidx, batch in enumerate(val_loader):
             bsz = batch["seq"].shape[0]
-            if bsz % n_dev != 0:  # pad final partial batch
-                pad = n_dev - bsz % n_dev
+            if bsz % n_data != 0:  # pad final partial batch (data shards)
+                pad = n_data - bsz % n_data
                 batch = {k: np.concatenate([v] + [v[-1:]] * pad)
                          for k, v in batch.items()}
                 # mask padding rows out of the metric means (eval_step

@@ -79,8 +79,11 @@ def preprocess_eval(batch_seq_u8, dtype):
 
 
 def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
-                *, model, cfg, tx, axis_name):
+                *, model, cfg, tx, axis_name, grad_axes=None):
     if axis_name is not None:
+        # fold over the DATA axes only: sp members of one data shard hold
+        # T chunks of the SAME clips, so their aug/dropout draws must match
+        # for the per-sample consistent transform to stay clip-consistent
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
     rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, 0))
     x = preprocess_train(batch["seq"], rng_aug, cfg.dtype)
@@ -101,7 +104,9 @@ def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
     (loss, (batch_stats, logits)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
     if axis_name is not None:
-        grads = jax.lax.pmean(grads, axis_name)
+        # grad_axes adds `sp` under sequence parallelism — one uniform
+        # pmean is exact for backbone and head alike (ops/seqpar.py)
+        grads = jax.lax.pmean(grads, grad_axes or axis_name)
 
     updates, opt_state = tx.update(grads, opt_state, state.params)
     updates = scale_updates_by_group(updates, cfg.train_what)
@@ -155,12 +160,55 @@ def _eval_step(state: ClassifierState, batch, *, model, cfg, axis_name):
 
 
 def make_classifier_steps(model, cfg, mesh=None):
+    from coclr_tpu.parallel.mesh import sp_axis_of
+
     tx = make_classifier_optimizer(cfg)
     axis_name = DATA_AXIS if mesh is not None else None
+    sp = sp_axis_of(mesh)  # temporal sequence parallelism, or None
+    model_sp = getattr(model, "sp_axis", None)
+    assert model_sp == sp, (
+        f"model.sp_axis={model_sp!r} but the mesh's sp axis is {sp!r}: "
+        "construct the classifier with sp_axis=sp_axis_of(mesh)")
+    grad_axes = tuple(mesh.axis_names) if mesh is not None else None
     train = functools.partial(_train_step, model=model, cfg=cfg, tx=tx,
-                              axis_name=axis_name)
+                              axis_name=axis_name, grad_axes=grad_axes)
     evals = functools.partial(_eval_step, model=model, cfg=cfg,
                               axis_name=axis_name)
+    if mesh is not None and sp is not None:
+        # clip leaves [B, T, S, S, 3] shard along T over `sp`; 1-D leaves
+        # (label/valid) replicate over sp. Specs must mirror the batch
+        # dict, so the shard_map+jit is built lazily per batch structure
+        # (same pattern as parallel/train_step.make_pretrain_step).
+        def lazy(fn, make_specs, donate=()):
+            built = {}
+
+            def call(*args, _batch_pos):
+                batch = args[_batch_pos]
+                sig = tuple(sorted((k, batch[k].ndim) for k in batch))
+                if sig not in built:
+                    built[sig] = jax.jit(
+                        shard_map_fn(fn, mesh, *make_specs(batch)),
+                        donate_argnums=donate)
+                return built[sig](*args)
+            return call
+
+        def batch_specs(batch):
+            # clip leaves are [B, T, S, S, 3]: T is dim 1 here (the driver
+            # squeezes the window dim), unlike pretrain's [B, 2, T, ...]
+            return {k: (P(DATA_AXIS, sp) if batch[k].ndim >= 3
+                        else P(DATA_AXIS)) for k in batch}
+
+        train_call = lazy(
+            train,
+            lambda b: ((P(), P(), batch_specs(b), P(), P()),
+                       (P(), P(), P())),
+            donate=(0, 1))
+        evals_call = lazy(
+            evals,
+            lambda b: ((P(), batch_specs(b)),
+                       (P(), P(DATA_AXIS), P(DATA_AXIS))))
+        return (functools.partial(train_call, _batch_pos=2),
+                functools.partial(evals_call, _batch_pos=1), tx)
     if mesh is not None:
         train = shard_map_fn(train, mesh,
                              in_specs=(P(), P(), P(DATA_AXIS), P(), P()),

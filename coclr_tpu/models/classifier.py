@@ -16,6 +16,11 @@ from coclr_tpu.backbones.norm import FoldedBatchNorm
 
 
 class LinearClassifier(nn.Module):
+    """`sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) —
+    the backbone runs on the local T chunk and the pooled feature pmeans
+    over sp, so the head (l2/final_bn/dropout/fc) sees the identical
+    replicated feature on every sp member (no sync needed there)."""
+
     num_class: int = 101
     network: str = "s3d"
     dropout: float = 0.5
@@ -23,9 +28,11 @@ class LinearClassifier(nn.Module):
     use_l2_norm: bool = False
     use_final_bn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    sp_axis: str | None = None
 
     def setup(self):
-        self.backbone, self.param = select_backbone(self.network, dtype=self.dtype)
+        self.backbone, self.param = select_backbone(
+            self.network, dtype=self.dtype, sp_axis=self.sp_axis)
         if self.use_final_bn:
             # torch BatchNorm1d semantics incl. the unbiased running-var
             # update; gamma=1 beta=0 (classifier.py:33-36)
@@ -47,8 +54,12 @@ class LinearClassifier(nn.Module):
         model.eval() + final_bn.train())."""
         if train_backbone is None:
             train_backbone = train
+        from coclr_tpu.ops.seqpar import sp_pmean
+
         feat = self.backbone(x, train=train_backbone)
         feat = jnp.mean(feat.astype(jnp.float32), axis=(1, 2, 3))
+        feat = sp_pmean(
+            feat, None if self.is_initializing() else self.sp_axis)
 
         if self.use_l2_norm:
             feat = feat / jnp.maximum(

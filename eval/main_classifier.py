@@ -47,6 +47,11 @@ def parse_args():
     parser.add_argument('--ten_crop', action='store_true')
     parser.add_argument('--compute_dtype', default='bfloat16', type=str)
     parser.add_argument('--num_devices', default=0, type=int)
+    parser.add_argument('--sp_size', default=1, type=int,
+                        help='temporal sequence parallelism for the train/'
+                             'val steps: clips sharded along T over an sp '
+                             'mesh axis (test paths are forward-only and '
+                             'run unsharded)')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'])
@@ -70,7 +75,8 @@ def cfg_from_args(args) -> EvalConfig:
         retrieval=args.retrieval, ten_crop=args.ten_crop,
         center_crop=args.center_crop, five_crop=args.five_crop,
         prefix=args.prefix, compute_dtype=args.compute_dtype,
-        num_devices=args.num_devices, data_root=args.data_root,
+        num_devices=args.num_devices, sp_size=args.sp_size,
+        data_root=args.data_root,
         worker_mode=args.worker_mode, ckpt_format=args.ckpt_format)
 
 

@@ -267,6 +267,80 @@ def test_sp_full_step_equivalence():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_sp_classifier_steps_equivalence():
+    """Classifier finetune train + padded eval steps on a (data=2, sp=2)
+    mesh equal the (data=2) steps — params, BN stats, metrics — to f32
+    tolerance. Covers the eval-suite SP path: sp-consistent aug/dropout
+    draws (folded over the data axis only, so sp members of one data shard
+    transform their T chunks identically), sp-synced backbone BN under
+    train_what='ft', replicated head, grads pmean over (data, sp)."""
+    from coclr_tpu.config import EvalConfig
+    from coclr_tpu.evalsuite.steps import make_classifier_steps
+    from coclr_tpu.models.classifier import LinearClassifier
+    from coclr_tpu.parallel import make_mesh
+    from coclr_tpu.parallel.mesh import sp_axis_of
+
+    T, S, NC = 8, 16, 5
+    cfg = EvalConfig(net="tiny", optim="sgd", wd=1e-3, dropout=0.5,
+                     train_what="ft", compute_dtype="float32",
+                     seq_len=T, img_dim=S, batch_size=2)
+
+    def build(mesh):
+        model = LinearClassifier(
+            num_class=NC, network="tiny", dropout=cfg.dropout,
+            use_dropout=True, use_l2_norm=False, use_final_bn=False,
+            dtype=jnp.float32, sp_axis=sp_axis_of(mesh))
+        sample = jnp.zeros((1, T, S, S, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, sample, train=False)
+        from coclr_tpu.evalsuite.steps import ClassifierState
+        state = ClassifierState(params=variables["params"],
+                                batch_stats=variables["batch_stats"],
+                                step=jnp.zeros((), jnp.int32))
+        tr, ev, tx = make_classifier_steps(model, cfg, mesh)
+        return state, tr, ev, tx
+
+    s_dp, tr_dp, ev_dp, tx = build(make_mesh(2))
+    s_sp, tr_sp, ev_sp, _ = build(make_mesh(4, sp_size=2))
+    o_dp = jax.jit(tx.init)(s_dp.params)
+    o_sp = jax.jit(tx.init)(s_sp.params)
+
+    for i in range(2):
+        r = np.random.RandomState(i)
+        batch = {"seq": jnp.asarray(
+                     r.randint(0, 255, (4, T, S, S, 3)).astype(np.uint8)),
+                 "label": jnp.asarray(r.randint(0, NC, (4,)))}
+        rng = jax.random.PRNGKey(50 + i)
+        s_dp, o_dp, m_dp = tr_dp(s_dp, o_dp, batch, rng, jnp.float32(1e-2))
+        s_sp, o_sp, m_sp = tr_sp(s_sp, o_sp, batch, rng, jnp.float32(1e-2))
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.batch_stats),
+                    jax.tree_util.tree_leaves(s_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # padded eval batch with a valid mask (the driver's partial-batch path)
+    r = np.random.RandomState(9)
+    ebatch = {"seq": jnp.asarray(
+                  r.randint(0, 255, (4, T, S, S, 3)).astype(np.uint8)),
+              "label": jnp.asarray(r.randint(0, NC, (4,))),
+              "valid": jnp.asarray([1, 1, 1, 0], np.float32)}
+    m_dp, lo_dp, _ = ev_dp(s_dp, ebatch)
+    m_sp, lo_sp, _ = ev_sp(s_sp, ebatch)
+    for k in ("loss", "top1", "top5", "count"):
+        np.testing.assert_allclose(float(m_sp[k]), float(m_dp[k]),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lo_sp), np.asarray(lo_dp),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sp_grads_pmean_combine_is_exact():
     """The SP gradient contract: per-member jax.grad through sp collectives,
     then ONE pmean over sp, equals the unsharded gradient — for BOTH the
