@@ -70,6 +70,9 @@ def max_pool_3d(x, window, strides, padding, sp_axis=None):
             continue
         p = tuple(p)
         if sp_axis is not None and axis == 1 and (k > 1 or p != (0, 0)):
+            assert x.shape[1] % s == 0, (
+                f"local T chunk {x.shape[1]} not divisible by temporal "
+                f"pool stride {s} under sequence parallelism")
             x = temporal_halo(x, p[0], p[1], sp_axis)
             p = (0, 0)
         if use_pallas:
@@ -103,6 +106,11 @@ class BasicConv3d(nn.Module):
         sp = None if self.is_initializing() else self.sp_axis
         pads = list(self.padding)
         if sp is not None and (self.kernel_size[0] > 1 or pads[0] > 0):
+            # exact tiling of the halo'd VALID conv needs the local T chunk
+            # to tile the temporal stride (seqpar.temporal_halo docstring)
+            assert x.shape[1] % self.stride[0] == 0, (
+                f"local T chunk {x.shape[1]} not divisible by temporal "
+                f"stride {self.stride[0]} under sequence parallelism")
             x = temporal_halo(x, pads[0], pads[0], sp)
             pads[0] = 0
         x = nn.Conv(
@@ -247,6 +255,9 @@ class STConv3d(nn.Module):
         x = bn_relu(x, train, self.dtype, name="bn1", sp_axis=sp)
         t_pad = (p, p)
         if sp is not None and (k > 1 or p > 0):
+            assert x.shape[1] % t_stride == 0, (
+                f"local T chunk {x.shape[1]} not divisible by temporal "
+                f"stride {t_stride} under sequence parallelism")
             x = temporal_halo(x, p, p, sp)
             t_pad = (0, 0)
         x = nn.Conv(

@@ -61,7 +61,7 @@ class PretrainConfig:
                                         # clips sharded along T over an `sp`
                                         # mesh axis (ops/seqpar.py); batch is
                                         # then sharded over n_dev/sp_size
-                                        # data shards. S3D-family only.
+                                        # data shards. All backbones.
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)
     worker_mode: str = "thread"         # loader workers: thread | process

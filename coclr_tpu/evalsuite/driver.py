@@ -142,7 +142,8 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
     n_dev = len(jax.devices())
     if cfg.num_devices:
         n_dev = min(n_dev, cfg.num_devices)
-    sp_size = cfg.sp_size if n_dev > 1 else 1
+    # `or 1` so sp_size 0 means disabled, like the sibling num_devices knob
+    sp_size = (cfg.sp_size or 1) if n_dev > 1 else 1
     mesh = make_mesh(cfg.num_devices, sp_size=sp_size) if n_dev > 1 else None
     # under sequence parallelism the batch shards over the data axis only;
     # each sp group of sp_size devices splits one batch shard along T
@@ -184,7 +185,9 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
 
     plotter = PlotterThread(os.path.join(img_path, "train"))
     logger = Logger(img_path)
-    put_batch, put_repl = make_upload(mesh)
+    # classifier batches are [B, T, S, S, 3] after the window squeeze: T is
+    # dim 1 for the sp-sharded upload (pretrain's default is dim 2)
+    put_batch, put_repl = make_upload(mesh, sp_t_dim=1)
     state, opt_state = put_repl((state, opt_state))
     run_key = jax.random.PRNGKey(cfg.seed + 7)
 

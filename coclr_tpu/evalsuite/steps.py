@@ -175,22 +175,7 @@ def make_classifier_steps(model, cfg, mesh=None):
     evals = functools.partial(_eval_step, model=model, cfg=cfg,
                               axis_name=axis_name)
     if mesh is not None and sp is not None:
-        # clip leaves [B, T, S, S, 3] shard along T over `sp`; 1-D leaves
-        # (label/valid) replicate over sp. Specs must mirror the batch
-        # dict, so the shard_map+jit is built lazily per batch structure
-        # (same pattern as parallel/train_step.make_pretrain_step).
-        def lazy(fn, make_specs, donate=()):
-            built = {}
-
-            def call(*args, _batch_pos):
-                batch = args[_batch_pos]
-                sig = tuple(sorted((k, batch[k].ndim) for k in batch))
-                if sig not in built:
-                    built[sig] = jax.jit(
-                        shard_map_fn(fn, mesh, *make_specs(batch)),
-                        donate_argnums=donate)
-                return built[sig](*args)
-            return call
+        from coclr_tpu.parallel.mesh import lazy_shard_jit
 
         def batch_specs(batch):
             # clip leaves are [B, T, S, S, 3]: T is dim 1 here (the driver
@@ -198,17 +183,17 @@ def make_classifier_steps(model, cfg, mesh=None):
             return {k: (P(DATA_AXIS, sp) if batch[k].ndim >= 3
                         else P(DATA_AXIS)) for k in batch}
 
-        train_call = lazy(
-            train,
+        train_call = lazy_shard_jit(
+            train, mesh,
             lambda b: ((P(), P(), batch_specs(b), P(), P()),
                        (P(), P(), P())),
-            donate=(0, 1))
-        evals_call = lazy(
-            evals,
+            batch_pos=2, donate_argnums=(0, 1))
+        evals_call = lazy_shard_jit(
+            evals, mesh,
             lambda b: ((P(), batch_specs(b)),
-                       (P(), P(DATA_AXIS), P(DATA_AXIS))))
-        return (functools.partial(train_call, _batch_pos=2),
-                functools.partial(evals_call, _batch_pos=1), tx)
+                       (P(), P(DATA_AXIS), P(DATA_AXIS))),
+            batch_pos=1)
+        return train_call, evals_call, tx
     if mesh is not None:
         train = shard_map_fn(train, mesh,
                              in_specs=(P(), P(), P(DATA_AXIS), P(), P()),

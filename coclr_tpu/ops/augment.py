@@ -254,7 +254,7 @@ def draw_orders(k_order, m, order_mode: str):
 def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
                   dtype=jnp.float32, order_mode: str = "shuffle",
                   backend: str = "xla", normalize_out: bool = False,
-                  emit_s2d: bool = False):
+                  emit_s2d: bool = False, frame_ctx=None):
     """seq_u8: [B, n_clips, L, S, S, 3] uint8; aug_base: [B, n_clips].
     Returns `dtype` in [0,1] ([0,1]-normalized when `normalize_out`), same
     shape — or, with `emit_s2d`, 2x2 space-to-depth packed
@@ -285,7 +285,15 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
                   selected op executes). XLA: 4 positional select stages
                   (computes all 4 candidates per stage; fused, VPU-bound).
       'fixed'   — b->c->s->h always; cheapest XLA chain, a documented
-                  divergence retained as an opt-in."""
+                  divergence retained as an opt-in.
+
+    `frame_ctx=(l_global, f_idx)` — temporal sequence parallelism support
+    (ops/seqpar.py): the input holds only a T chunk of each clip, and the
+    ONE per-frame draw here (the gray channel) must come from the GLOBAL
+    frame stream so every sp member reproduces the unsharded channels for
+    its chunk. l_global = full per-clip frame count, f_idx [L] = global
+    frame index of each local frame (may be traced). Every other draw is
+    per-clip and shape-independent, so chunked application is exact."""
     b, n, L, S1, S2, C = seq_u8.shape
     if emit_s2d:
         # odd dims would silently drop the last row/column of every frame
@@ -316,7 +324,13 @@ def augment_clips(seq_u8, aug_base, rng, strength=(0.4, 0.4, 0.4, 0.1),
 
     # RandomGray p=0.2: decision per clip, channel per frame
     do_gray = jnp.repeat(base & (jax.random.uniform(k_gray, (m,)) < 0.2), L)
-    ch = jax.random.randint(k_grayc, (m * L,), 0, 3)
+    if frame_ctx is None:
+        ch = jax.random.randint(k_grayc, (m * L,), 0, 3)
+    else:
+        l_global, f_idx = frame_ctx
+        ch_full = jax.random.randint(k_grayc, (m * l_global,), 0, 3)
+        ch = jnp.take(ch_full.reshape(m, l_global), f_idx,
+                      axis=1).reshape(m * L)
 
     # GaussianBlur p=0.5 (sigma per clip) + HFlip p=0.5 draws
     do_blur = base & (jax.random.uniform(k_blur, (m,)) < 0.5)
@@ -474,20 +488,38 @@ def make_pretrain_preprocess(cfg):
         backend = ("pallas" if _jax.default_backend() in ("tpu", "axon")
                    else "xla")
 
-    def fn(batch, rng):
+    def fn(batch, rng, sp_ctx=None):
+        # sp_ctx=(t_global, t_offset): temporal sequence parallelism — the
+        # batch holds a T chunk; per-clip draws are shape-independent (so
+        # sp members of a data shard reproduce them from the shared key),
+        # and the per-frame gray-channel draw reads the global frame
+        # stream via augment_clips' frame_ctx, making chunked aug exact.
         out = dict(batch)
         if "seq" in batch:
+            fctx = None
+            if sp_ctx is not None:
+                t_glob, off = sp_ctx
+                fctx = (t_glob, off + jnp.arange(batch["seq"].shape[2]))
             out["seq"] = augment_clips(
                 batch["seq"], batch["aug_base"], rng, dtype=dtype,
                 order_mode=order_mode, backend=backend, normalize_out=True,
-                emit_s2d=emit_s2d)
+                emit_s2d=emit_s2d, frame_ctx=fctx)
         else:
             t = batch["seq_rgb"].shape[2]
             both = jnp.concatenate([batch["seq_rgb"], batch["seq_flow"]],
                                    axis=2)  # [B, 2, 2T, S, S, 3]
+            fctx = None
+            if sp_ctx is not None:
+                # local frames [0,t) are global rgb frames off+i; local
+                # [t,2t) are global flow frames t_glob+off+i of the
+                # doubled-seq_len stream
+                t_glob, off = sp_ctx
+                idx = off + jnp.arange(t)
+                fctx = (2 * t_glob, jnp.concatenate([idx, t_glob + idx]))
             both = augment_clips(both, batch["aug_base"], rng, dtype=dtype,
                                  order_mode=order_mode, backend=backend,
-                                 normalize_out=True, emit_s2d=emit_s2d)
+                                 normalize_out=True, emit_s2d=emit_s2d,
+                                 frame_ctx=fctx)
             out["seq_rgb"], out["seq_flow"] = both[:, :, :t], both[:, :, t:]
         out.pop("aug_base", None)
         return out

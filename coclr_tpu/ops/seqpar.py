@@ -43,11 +43,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-SP_AXIS = "sp"
-
-
-def sp_size(axis_name) -> int:
-    return jax.lax.axis_size(axis_name)
+SP_AXIS = "sp"  # single source of truth; parallel/mesh.py re-exports it
 
 
 def temporal_halo(x, lo: int, hi: int, axis_name: str):
@@ -64,6 +60,9 @@ def temporal_halo(x, lo: int, hi: int, axis_name: str):
     reads padded-global input [ (i*T_loc/s + j)*s - p , ... + k-1 ] — all
     inside the halo-extended block. Requires T_loc % s == 0.
     """
+    assert lo <= x.shape[1] and hi <= x.shape[1], (
+        f"halo ({lo},{hi}) exceeds the local T chunk {x.shape[1]}: "
+        f"increase seq_len or decrease sp_size")
     parts = []
     n = jax.lax.axis_size(axis_name)
     if lo:
@@ -111,4 +110,4 @@ def sp_pmean(x, axis_name: Optional[str]):
     return _pmean_exact(x, axis_name)
 
 
-__all__ = ["SP_AXIS", "sp_size", "temporal_halo", "sp_pmean"]
+__all__ = ["SP_AXIS", "temporal_halo", "sp_pmean"]

@@ -21,7 +21,8 @@ except AttributeError:  # pragma: no cover
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"
-SP_AXIS = "sp"  # temporal sequence parallelism (coclr_tpu/ops/seqpar.py)
+# temporal sequence parallelism — the axis name lives with its collectives
+from coclr_tpu.ops.seqpar import SP_AXIS
 
 
 def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
@@ -90,5 +91,28 @@ def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
                           check_rep=check_rep)
 
 
-__all__ = ["make_mesh", "mesh_axes", "sp_axis_of", "shard_map_fn", "Mesh",
-           "P", "DATA_AXIS", "DCN_AXIS", "SP_AXIS"]
+def lazy_shard_jit(fn, mesh, make_specs, batch_pos: int, donate_argnums=()):
+    """jit(shard_map(fn)) built lazily per batch-dict STRUCTURE: sp meshes
+    need per-leaf specs that mirror the batch pytree, which step builders
+    never see up front (loaders yield different key sets per dataset mode).
+    `make_specs(batch) -> (in_specs, out_specs)`; cache key = sorted
+    (key, ndim) signature of the dict at argument position `batch_pos`.
+    Shared by parallel/train_step.py and evalsuite/steps.py."""
+    built = {}
+
+    def call(*args):
+        batch = args[batch_pos]
+        sig = tuple(sorted((k, batch[k].ndim) for k in batch))
+        if sig not in built:
+            in_specs, out_specs = make_specs(batch)
+            built[sig] = jax.jit(
+                shard_map_fn(fn, mesh, in_specs=in_specs,
+                             out_specs=out_specs),
+                donate_argnums=donate_argnums)
+        return built[sig](*args)
+
+    return call
+
+
+__all__ = ["make_mesh", "mesh_axes", "sp_axis_of", "shard_map_fn",
+           "lazy_shard_jit", "Mesh", "P", "DATA_AXIS", "DCN_AXIS", "SP_AXIS"]

@@ -26,8 +26,8 @@ from jax.sharding import PartitionSpec as P
 from coclr_tpu.config import PretrainConfig
 from coclr_tpu.models import moco
 from coclr_tpu.models.moco import MoCoState
-from coclr_tpu.parallel.mesh import (DATA_AXIS, mesh_axes, shard_map_fn,
-                                     sp_axis_of)
+from coclr_tpu.parallel.mesh import (DATA_AXIS, lazy_shard_jit, mesh_axes,
+                                     shard_map_fn, sp_axis_of)
 
 
 def make_optimizer(cfg: PretrainConfig):
@@ -198,24 +198,21 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
         preprocess_fn=None if split else preprocess_fn)
 
     donate_argnums = (0, 1) if donate else ()
-    if mesh is not None and sp is not None:
-        # clip leaves [b, 2, T, H, W, C] are sharded along T over `sp`;
-        # 1-D leaves (label/vname) replicate over sp. The spec pytree must
-        # mirror the batch dict, which make_pretrain_step never sees — so
-        # the shard_map+jit is built lazily per batch structure.
-        built = {}
-        base_fn = fn
 
-        def step(state, opt_state, batch, rng, lr):
-            sig = tuple(sorted((k, batch[k].ndim) for k in batch))
-            if sig not in built:
-                specs = {k: (P(axis_name, None, sp) if batch[k].ndim >= 3
-                             else P(axis_name)) for k in batch}
-                f = shard_map_fn(base_fn, mesh,
-                                 in_specs=(P(), P(), specs, P(), P()),
-                                 out_specs=(P(), P(), P()))
-                built[sig] = jax.jit(f, donate_argnums=donate_argnums)
-            return built[sig](state, opt_state, batch, rng, lr)
+    def _sp_leaf_spec(leaf):
+        # clip leaves [b, 2, T, H, W, C] shard along T over `sp`; 1-D
+        # leaves (label/vname) replicate over sp
+        return P(axis_name, None, sp) if leaf.ndim >= 3 else P(axis_name)
+
+    if mesh is not None and sp is not None:
+        # the spec pytree must mirror the batch dict, which
+        # make_pretrain_step never sees — built lazily per batch structure
+        step = lazy_shard_jit(
+            fn, mesh,
+            lambda b: ((P(), P(), {k: _sp_leaf_spec(b[k]) for k in b},
+                        P(), P()),
+                       (P(), P(), P())),
+            batch_pos=2, donate_argnums=donate_argnums)
     else:
         if mesh is not None:
             fn = shard_map_fn(
@@ -227,16 +224,39 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     if not split:
         return step, tx
 
-    def pre(batch, rng):
-        rng = jax.random.fold_in(rng, 1)  # disjoint from the step's fold(0)
-        if axis_name is not None:
+    if sp is not None:
+        def pre(batch, rng):
+            rng = jax.random.fold_in(rng, 1)  # disjoint from step's fold(0)
+            # fold over the DATA axes only: sp members of one data shard
+            # must reproduce the same per-clip draws for their T chunks
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        return preprocess_fn(batch, rng)
+            clip_key = "seq" if "seq" in batch else "seq_rgb"
+            t_loc = batch[clip_key].shape[2]
+            off = jax.lax.axis_index(sp) * t_loc
+            return preprocess_fn(batch, rng,
+                                 sp_ctx=(t_loc * jax.lax.axis_size(sp), off))
 
-    if mesh is not None:
-        pre = shard_map_fn(pre, mesh, in_specs=(batch_spec, P()),
-                           out_specs=batch_spec)
-    pre_jit = jax.jit(pre)  # batch not donated: callers may reuse buffers
+        # the aug chain is frame-local with per-clip parameter draws, so it
+        # runs T-SHARDED like the step (per-device aug compute and f32
+        # activation memory scale 1/sp; the per-frame gray draw reads the
+        # global frame stream via sp_ctx — exact vs unsharded, tested)
+        pre_jit = lazy_shard_jit(
+            pre, mesh,
+            lambda b: (({k: _sp_leaf_spec(b[k]) for k in b}, P()),
+                       {k: _sp_leaf_spec(b[k]) for k in b
+                        if k != "aug_base"}),
+            batch_pos=0)
+    else:
+        def pre(batch, rng):
+            rng = jax.random.fold_in(rng, 1)  # disjoint from step's fold(0)
+            if axis_name is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            return preprocess_fn(batch, rng)
+
+        if mesh is not None:
+            pre = shard_map_fn(pre, mesh, in_specs=(batch_spec, P()),
+                               out_specs=batch_spec)
+        pre_jit = jax.jit(pre)  # batch not donated: callers may reuse buffers
 
     def wrapped(state, opt_state, batch, rng, lr):
         return step(state, opt_state, pre_jit(batch, rng), rng, lr)

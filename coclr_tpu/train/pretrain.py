@@ -101,16 +101,34 @@ def _device_count(cfg: PretrainConfig) -> int:
     return min(n, cfg.num_devices) if cfg.num_devices else n
 
 
-def make_upload(mesh):
+def make_upload(mesh, sp_t_dim: int = 2):
+    """(put_batch, put_repl) for `mesh`. Under sequence parallelism clip
+    leaves (ndim >= 3) are uploaded T-SHARDED over `sp` (T at `sp_t_dim`:
+    2 for pretrain's [B, 2, T, ...], 1 for the classifier's [B, T, ...]),
+    so host->device traffic and device input memory scale 1/sp and the
+    T-sharded preprocess/step consume them without a reshard."""
     if mesh is None:
         # single device: batches are pytrees (dict of arrays), map per leaf
         return (lambda tree: jax.tree.map(jnp.asarray, tree)), \
                (lambda tree: tree)
-    data_sh = NamedSharding(mesh, P(mesh_axes(mesh)))
+    from coclr_tpu.parallel.mesh import sp_axis_of
+
+    axes = mesh_axes(mesh)
+    sp = sp_axis_of(mesh)
+    data_sh = NamedSharding(mesh, P(axes))
     repl_sh = NamedSharding(mesh, P())
 
-    def put_batch(x):
-        return jax.device_put(x, data_sh)
+    if sp is not None:
+        clip_sh = NamedSharding(
+            mesh, P(axes, *((None,) * (sp_t_dim - 1)), sp))
+
+        def put_batch(x):
+            return jax.tree.map(
+                lambda a: jax.device_put(
+                    a, clip_sh if a.ndim >= 3 else data_sh), x)
+    else:
+        def put_batch(x):
+            return jax.device_put(x, data_sh)
 
     def put_repl(tree):
         return jax.device_put(tree, repl_sh)
@@ -168,7 +186,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     enable_compilation_cache()
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
-    sp_size = cfg.sp_size if n_dev > 1 else 1
+    # `or 1` so sp_size 0 means disabled, like the sibling num_devices knob
+    sp_size = (cfg.sp_size or 1) if n_dev > 1 else 1
     mesh = make_mesh(cfg.num_devices, dcn_size=cfg.dcn_size,
                      sp_size=sp_size) if n_dev > 1 else None
     # under sequence parallelism the batch is sharded over the data shards

@@ -267,6 +267,103 @@ def test_sp_full_step_equivalence():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_sp_preprocess_equivalence():
+    """The on-device augmentation runs T-SHARDED under sp (per-device aug
+    compute/memory scale 1/sp) and must be numerically IDENTICAL to the
+    unsharded chain: per-clip draws are shape-independent, and the one
+    per-frame draw (gray channel) reads the global frame stream via
+    sp_ctx/frame_ctx. Covers single-stream and the two-stream
+    doubled-seq_len concat (whose local chunks are non-contiguous in the
+    global frame stream)."""
+    from coclr_tpu.config import PretrainConfig
+    from coclr_tpu.ops.augment import make_pretrain_preprocess
+
+    T, S, sp = 8, 16, 4
+    cfg = PretrainConfig(net="tiny", compute_dtype="float32", seq_len=T,
+                         img_dim=S, aug_backend="xla")
+    fn = make_pretrain_preprocess(cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:sp]), (SP_AXIS,))
+    r = np.random.RandomState(3)
+
+    def clips():
+        return jnp.asarray(
+            r.randint(0, 255, (2, 2, T, S, S, 3)).astype(np.uint8))
+
+    for batch in (
+            {"seq": clips(),
+             "aug_base": jnp.ones((2, 2), jnp.float32)},
+            {"seq_rgb": clips(), "seq_flow": clips(),
+             "aug_base": jnp.ones((2, 2), jnp.float32)}):
+        rng = jax.random.PRNGKey(11)
+        ref = fn(batch, rng)
+
+        def member(b, k):
+            t_loc = next(v for v in b.values() if v.ndim >= 3).shape[2]
+            off = jax.lax.axis_index(SP_AXIS) * t_loc
+            return fn(b, k, sp_ctx=(t_loc * sp, off))
+
+        in_specs = ({k: (P(None, None, SP_AXIS) if batch[k].ndim >= 3
+                         else P()) for k in batch}, P())
+        out_specs = {k: P(None, None, SP_AXIS) for k in batch
+                     if k != "aug_base"}
+        got = shard_map_fn(member, mesh, in_specs=in_specs,
+                           out_specs=out_specs)(batch, rng)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_sp_production_step_with_preprocess():
+    """One production make_pretrain_step step WITH the real augmentation
+    pipeline: (data=2, sp=2) == (data=2) — queue, BN stats, loss. This is
+    the path a user actually runs with --sp_size: T-sharded upload,
+    T-sharded aug (lazy per-structure shard_map), sp step."""
+    from coclr_tpu.config import PretrainConfig
+    from coclr_tpu.models import moco as moco_mod
+    from coclr_tpu.models.encoder import ProjectionEncoder
+    from coclr_tpu.ops.augment import make_pretrain_preprocess
+    from coclr_tpu.parallel import make_mesh, make_pretrain_step
+    from coclr_tpu.train.pretrain import make_upload
+
+    DIM, K, T, HW = 16, 64, 8, 16
+    cfg = PretrainConfig(net="tiny", moco_dim=DIM, moco_k=K,
+                         compute_dtype="float32", seq_len=T, img_dim=HW,
+                         batch_size=2, model="infonce", aug_backend="xla")
+    pre_fn = make_pretrain_preprocess(cfg)
+    enc = ProjectionEncoder(network="tiny", dim=DIM, dtype=jnp.float32)
+    enc_sp = ProjectionEncoder(network="tiny", dim=DIM, dtype=jnp.float32,
+                               sp_axis=SP_AXIS)
+    state0 = moco_mod.init_moco_state(
+        jax.random.PRNGKey(0), enc, "infonce",
+        jnp.zeros((1, T, HW, HW, 3), jnp.float32), dim=DIM, K=K)
+
+    r = np.random.RandomState(5)
+    raw = {"seq": jnp.asarray(
+               r.randint(0, 255, (4, 2, T, HW, HW, 3)).astype(np.uint8)),
+           "aug_base": jnp.ones((4, 2), jnp.float32)}
+
+    results = []
+    for mesh, e in ((make_mesh(2), enc),
+                    (make_mesh(4, sp_size=2), enc_sp)):
+        step, tx = make_pretrain_step(e, cfg, mesh, pre_fn, donate=False)
+        opt0 = jax.jit(tx.init)(state0.params_q)
+        put_batch, put_repl = make_upload(mesh)
+        st, op = put_repl((state0, opt0))
+        st, op, m = step(st, op, put_batch(raw), jax.random.PRNGKey(21),
+                         jnp.float32(1e-3))
+        results.append((st, m))
+    (s_dp, m_dp), (s_sp, m_sp) = results[0], results[1]
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_sp.queue),
+                               np.asarray(s_dp.queue), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.stats_q),
+                    jax.tree_util.tree_leaves(s_dp.stats_q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sp_classifier_steps_equivalence():
     """Classifier finetune train + padded eval steps on a (data=2, sp=2)
     mesh equal the (data=2) steps — params, BN stats, metrics — to f32
