@@ -46,14 +46,24 @@ def _split_clips(seq):
 
 def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
                    *, encoder, cfg: PretrainConfig, tx, axis_name,
-                   preprocess_fn, grad_axes=None):
+                   preprocess_fn, grad_axes=None, sp_axis=None):
     rng = jax.random.fold_in(rng, 0)
     rng_pre, rng_shuffle, rng_self = jax.random.split(rng, 3)
 
     if preprocess_fn is not None:
         if axis_name is not None:
             rng_pre = jax.random.fold_in(rng_pre, jax.lax.axis_index(axis_name))
-        batch = preprocess_fn(batch, rng_pre)
+        if sp_axis is not None:
+            # fused preprocess on a T chunk: pass the global frame context
+            # so per-frame draws match the unsharded stream (augment.py)
+            clip_key = "seq" if "seq" in batch else "seq_rgb"
+            t_loc = batch[clip_key].shape[2]
+            off = jax.lax.axis_index(sp_axis) * t_loc
+            batch = preprocess_fn(
+                batch, rng_pre,
+                sp_ctx=(t_loc * jax.lax.axis_size(sp_axis), off))
+        else:
+            batch = preprocess_fn(batch, rng_pre)
 
     variant = cfg.model
 
@@ -195,7 +205,8 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     fn = functools.partial(
         _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
         axis_name=axis_name, grad_axes=grad_axes,
-        preprocess_fn=None if split else preprocess_fn)
+        preprocess_fn=None if split else preprocess_fn,
+        sp_axis=None if split else sp)
 
     donate_argnums = (0, 1) if donate else ()
 

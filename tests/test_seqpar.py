@@ -343,25 +343,28 @@ def test_sp_production_step_with_preprocess():
                r.randint(0, 255, (4, 2, T, HW, HW, 3)).astype(np.uint8)),
            "aug_base": jnp.ones((4, 2), jnp.float32)}
 
-    results = []
-    for mesh, e in ((make_mesh(2), enc),
-                    (make_mesh(4, sp_size=2), enc_sp)):
-        step, tx = make_pretrain_step(e, cfg, mesh, pre_fn, donate=False)
-        opt0 = jax.jit(tx.init)(state0.params_q)
-        put_batch, put_repl = make_upload(mesh)
-        st, op = put_repl((state0, opt0))
-        st, op, m = step(st, op, put_batch(raw), jax.random.PRNGKey(21),
-                         jnp.float32(1e-3))
-        results.append((st, m))
-    (s_dp, m_dp), (s_sp, m_sp) = results[0], results[1]
-    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
-                               rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(s_sp.queue),
-                               np.asarray(s_dp.queue), rtol=1e-4, atol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s_sp.stats_q),
-                    jax.tree_util.tree_leaves(s_dp.stats_q)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+    for fuse in (False, True):  # split aug program AND fused-in-step aug
+        results = []
+        for mesh, e in ((make_mesh(2), enc),
+                        (make_mesh(4, sp_size=2), enc_sp)):
+            step, tx = make_pretrain_step(e, cfg, mesh, pre_fn,
+                                          donate=False, fuse_preprocess=fuse)
+            opt0 = jax.jit(tx.init)(state0.params_q)
+            put_batch, put_repl = make_upload(mesh)
+            st, op = put_repl((state0, opt0))
+            st, op, m = step(st, op, put_batch(raw), jax.random.PRNGKey(21),
+                             jnp.float32(1e-3))
+            results.append((st, m))
+        (s_dp, m_dp), (s_sp, m_sp) = results[0], results[1]
+        np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s_sp.queue),
+                                   np.asarray(s_dp.queue),
                                    rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_sp.stats_q),
+                        jax.tree_util.tree_leaves(s_dp.stats_q)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
 
 def test_sp_classifier_steps_equivalence():
