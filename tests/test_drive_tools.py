@@ -108,3 +108,35 @@ def test_run_cli_resume_skip(tmp_path):
         drive.run_cli("ph0", ["definitely-no-such-entrypoint.py"],
                       str(tmp_path), str(log_dir), done_marker="finished",
                       validate=ok)
+
+
+def test_summarize_drives_cross_seed(tmp_path):
+    """tools/summarize_drives.py aggregates every DRIVE_coclr_cycle*.json
+    into per-seed best-post-mining rows + improvement counts."""
+    import json
+
+    def art(seed, r1):
+        phases = {f"retrieval_{m}_{s}": {"R@1": v}
+                  for (m, s), v in r1.items()}
+        return {"phases": phases, "chance_R@1": 0.25,
+                "config": {"seed": seed}}
+
+    (tmp_path / "DRIVE_coclr_cycle.json").write_text(json.dumps(art(0, {
+        ("rgb", "init"): 0.14, ("rgb", "coclr"): 0.29,
+        ("rgb", "cycle2"): 0.24,
+        ("flow", "init"): 0.28, ("flow", "coclr"): 0.29,
+        ("flow", "cycle2"): 0.44})))
+    (tmp_path / "DRIVE_coclr_cycle_seed1.json").write_text(json.dumps(art(1, {
+        ("rgb", "init"): 0.24, ("rgb", "coclr"): 0.29,
+        ("flow", "init"): 0.32, ("flow", "coclr"): 0.22})))
+
+    mod = _load("summarize_drives")
+    drives = mod.load_drives(str(tmp_path))
+    rows, improved, total = mod.summarize(drives, n_queries=72)
+    assert len(rows) == 4
+    assert improved == {"rgb": 2, "flow": 1} and total == {"rgb": 2, "flow": 2}
+    r0_flow = next(r for r in rows if r["seed"] == 0
+                   and r["modality"] == "flow")
+    assert abs(r0_flow["best_post_mining"] - 0.44) < 1e-9
+    # sigma at chance 0.25 with 72 queries = sqrt(.25*.75/72) ~ 0.051
+    assert abs(r0_flow["vs_chance_sigma"] - (0.44 - 0.25) / 0.05103) < 0.02
