@@ -441,6 +441,33 @@ def test_sp_classifier_steps_equivalence():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sp_upload_shards_clips_along_t():
+    """make_upload under an sp mesh uploads clip leaves T-sharded (1/sp
+    host->device bytes per device) and small leaves data-sharded only;
+    sp_t_dim selects where T lives (2 = pretrain [B,2,T,...],
+    1 = classifier [B,T,...])."""
+    from jax.sharding import NamedSharding
+
+    from coclr_tpu.parallel import make_mesh
+    from coclr_tpu.train.pretrain import make_upload
+
+    mesh = make_mesh(4, sp_size=2)
+    for t_dim in (1, 2):
+        put_batch, put_repl = make_upload(mesh, sp_t_dim=t_dim)
+        shape = (4, 8, 6, 6, 3) if t_dim == 1 else (4, 2, 8, 6, 6, 3)
+        batch = put_batch({"seq": np.zeros(shape, np.uint8),
+                           "label": np.zeros((4,), np.int32)})
+        seq_spec = batch["seq"].sharding.spec
+        assert seq_spec[0] == "data" and seq_spec[t_dim] == SP_AXIS, seq_spec
+        lab_spec = batch["label"].sharding.spec
+        assert tuple(lab_spec) in ((("data",),), ("data",)), lab_spec
+        # shard shape check: T halved per device, batch halved over data
+        shard = batch["seq"].addressable_shards[0].data
+        assert shard.shape[0] == 2 and shard.shape[t_dim] == 4, shard.shape
+    st = put_repl(jnp.ones((3,)))
+    assert isinstance(st.sharding, NamedSharding) and st.sharding.spec == P()
+
+
 def test_sp_grads_pmean_combine_is_exact():
     """The SP gradient contract: per-member jax.grad through sp collectives,
     then ONE pmean over sp, equals the unsharded gradient — for BOTH the
