@@ -100,7 +100,7 @@ def lazy_shard_jit(fn, mesh, make_specs, batch_pos: int, donate_argnums=()):
     Shared by parallel/train_step.py and evalsuite/steps.py."""
     built = {}
 
-    def call(*args):
+    def _get(args):
         batch = args[batch_pos]
         sig = tuple(sorted((k, batch[k].ndim) for k in batch))
         if sig not in built:
@@ -109,8 +109,12 @@ def lazy_shard_jit(fn, mesh, make_specs, batch_pos: int, donate_argnums=()):
                 shard_map_fn(fn, mesh, in_specs=in_specs,
                              out_specs=out_specs),
                 donate_argnums=donate_argnums)
-        return built[sig](*args)
+        return built[sig]
 
+    def call(*args):
+        return _get(args)(*args)
+
+    call.lower = lambda *args: _get(args).lower(*args)  # AOT introspection
     return call
 
 
