@@ -68,6 +68,13 @@ class PretrainConfig:
     profile_steps: int = 0              # >0: trace N steps of first epoch
     ckpt_format: str = "flax"           # flax (single file) | orbax (sharded
                                         # dir; resharding resume, multi-host)
+    # multi-host: one JAX process per TPU host (parallel/multihost.py).
+    # --multihost auto-detects on TPU pods; the explicit coordinator
+    # triple is for CPU/GPU clusters and the 2-process equivalence test.
+    multihost: bool = False
+    coordinator: str = ""               # "host:port" rendezvous address
+    num_processes: int = 0              # with coordinator: world size
+    process_id: int = -1                # with coordinator: this host's rank
 
     @property
     def dtype(self):

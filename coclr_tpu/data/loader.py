@@ -189,7 +189,8 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
                  seed: int = 0, prefetch: int = 3,
-                 worker_mode: str = "thread"):
+                 worker_mode: str = "thread",
+                 process_shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -201,6 +202,29 @@ class Loader:
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"worker_mode {worker_mode!r}")
         self.worker_mode = worker_mode
+        # multi-host: (rank, world) — every host draws the SAME per-epoch
+        # order (seed+epoch PRNG) and loads only its CONTIGUOUS block of
+        # rows from each global batch, matching the contiguous data-axis
+        # device block the host's chips own in the (process-major) mesh.
+        # The reference shards by DistributedSampler rank-interleaving
+        # (main_nce.py:414-424, indices[rank::world]) — a deliberate
+        # divergence: block layout is what makes the assembled global
+        # jax.Array equal the single-host batch element-for-element.
+        if process_shard is not None:
+            rank, world = process_shard
+            if not (0 <= rank < world):
+                raise ValueError(f"process_shard rank {rank} not in [0,{world})")
+            if batch_size % world:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process count {world}")
+            if world > 1 and not drop_last:
+                raise ValueError("process_shard requires drop_last=True "
+                                 "(a ragged final batch cannot be sharded "
+                                 "evenly across hosts)")
+        self.process_shard = process_shard
+        self._bs = (batch_size // process_shard[1]
+                    if process_shard else batch_size)
         self._pool: Optional[ThreadPoolExecutor] = None
         self._ppool: Optional[_ProcessPool] = None
         if worker_mode == "thread":
@@ -221,9 +245,17 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _order(self) -> np.ndarray:
+        """This host's sample order: the full epoch order, or (multi-host)
+        its contiguous per-batch block of it — len(self) * self._bs ids."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.process_shard is not None:
+            rank, world = self.process_shard
+            nb = len(self)
+            lo = rank * self._bs
+            idx = idx[:nb * self.batch_size].reshape(
+                nb, self.batch_size)[:, lo:lo + self._bs].ravel()
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -243,7 +275,7 @@ class Loader:
                 for bi in range(nb):
                     if stop.is_set():
                         return
-                    ids = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                    ids = order[bi * self._bs:(bi + 1) * self._bs]
                     samples = list(self._pool.map(self.dataset.__getitem__, ids))
                     q.put(collate(samples))
                 q.put(None)
@@ -265,7 +297,7 @@ class Loader:
 
     def _iter_process(self):
         if self._ppool is None:
-            n_slots = self.batch_size * (self.prefetch + 1)
+            n_slots = self._bs * (self.prefetch + 1)
             self._ppool = _ProcessPool(self.dataset, self.num_workers, n_slots)
         pool = self._ppool
         pool.gen += 1
@@ -275,7 +307,7 @@ class Loader:
         ready = pool.ready
         order = self._order()
         nb = len(self)
-        total = nb * self.batch_size
+        total = nb * self._bs
         dispatched = 0
 
         def recv(block: bool):
@@ -330,8 +362,7 @@ class Loader:
         for bi in range(nb):
             samples = []
             batch_slots: List[int] = []
-            for pos in range(bi * self.batch_size,
-                             (bi + 1) * self.batch_size):
+            for pos in range(bi * self._bs, (bi + 1) * self._bs):
                 while pos not in ready:
                     recv(block=True)
                     dispatch_pending()

@@ -106,7 +106,16 @@ def make_upload(mesh, sp_t_dim: int = 2):
     leaves (ndim >= 3) are uploaded T-SHARDED over `sp` (T at `sp_t_dim`:
     2 for pretrain's [B, 2, T, ...], 1 for the classifier's [B, T, ...]),
     so host->device traffic and device input memory scale 1/sp and the
-    T-sharded preprocess/step consume them without a reshard."""
+    T-sharded preprocess/step consume them without a reshard.
+
+    Multi-host (jax.process_count() > 1): each host's loader yields only
+    its contiguous block of the global batch (Loader process_shard), and
+    put_batch assembles the global jax.Array from those host-local rows
+    (`jax.make_array_from_process_local_data`) — valid because the mesh is
+    built process-major (multihost.global_devices_process_major), so the
+    rows this host owns on the data axis ARE its loader block. put_repl
+    uploads identical host values replicated (state is replicated; every
+    host inits/restores the same bytes)."""
     if mesh is None:
         # single device: batches are pytrees (dict of arrays), map per leaf
         return (lambda tree: jax.tree.map(jnp.asarray, tree)), \
@@ -117,23 +126,58 @@ def make_upload(mesh, sp_t_dim: int = 2):
     sp = sp_axis_of(mesh)
     data_sh = NamedSharding(mesh, P(axes))
     repl_sh = NamedSharding(mesh, P())
+    nproc = jax.process_count()
 
     if sp is not None:
         clip_sh = NamedSharding(
             mesh, P(axes, *((None,) * (sp_t_dim - 1)), sp))
+    else:
+        clip_sh = data_sh
 
+    if nproc > 1:
+        def _assemble(a, sh):
+            a = np.asarray(a)
+            gshape = (a.shape[0] * nproc,) + a.shape[1:]
+            return jax.make_array_from_process_local_data(sh, a, gshape)
+
+        def put_batch(x):
+            return jax.tree.map(
+                lambda a: _assemble(
+                    a, clip_sh if np.ndim(a) >= 3 else data_sh), x)
+
+        def put_repl(tree):
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    repl_sh, np.asarray(jax.device_get(a))), tree)
+    elif sp is not None:
         def put_batch(x):
             return jax.tree.map(
                 lambda a: jax.device_put(
                     a, clip_sh if a.ndim >= 3 else data_sh), x)
+
+        def put_repl(tree):
+            return jax.device_put(tree, repl_sh)
     else:
         def put_batch(x):
             return jax.device_put(x, data_sh)
 
-    def put_repl(tree):
-        return jax.device_put(tree, repl_sh)
+        def put_repl(tree):
+            return jax.device_put(tree, repl_sh)
 
     return put_batch, put_repl
+
+
+class _NullSink:
+    """No-op Logger/PlotterThread stand-in for non-primary hosts."""
+
+    def log(self, *a, **k):
+        pass
+
+    def add_data(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 class _PreemptionGuard:
@@ -181,14 +225,34 @@ class _PreemptionGuard:
 def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                  loader=None):
     """Train per cfg. `dataset`/`max_steps` are injectable for tests/bench."""
+    from coclr_tpu.parallel import multihost
     from coclr_tpu.utils import enable_compilation_cache
 
+    multihost.maybe_initialize(cfg)  # before the first device query
     enable_compilation_cache()
+    nproc = jax.process_count()
+    mesh_devices = None
+    if nproc > 1:
+        multihost.suppress_nonprimary_print()
+        assert not cfg.num_devices, (
+            "--num_devices is a single-host knob; under multihost every "
+            "process contributes all its local devices")
+        assert cfg.dcn_size == 1, (
+            "multihost + --dcn_size both split the global mesh across "
+            "hosts; use one (multihost already rides DCN between hosts)")
+        # process-major order: each host's chips form one contiguous block
+        # of the data axis, matching its Loader(process_shard) block
+        mesh_devices = multihost.global_devices_process_major()
+        assert jax.local_device_count() % (cfg.sp_size or 1) == 0, (
+            f"sp_size {cfg.sp_size} must divide the {jax.local_device_count()}"
+            " local devices: an sp group cannot span hosts (halo exchanges "
+            "would ride DCN every temporal conv)")
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
     # `or 1` so sp_size 0 means disabled, like the sibling num_devices knob
     sp_size = (cfg.sp_size or 1) if n_dev > 1 else 1
-    mesh = make_mesh(cfg.num_devices, dcn_size=cfg.dcn_size,
+    mesh = make_mesh(cfg.num_devices, devices=mesh_devices,
+                     dcn_size=cfg.dcn_size,
                      sp_size=sp_size) if n_dev > 1 else None
     # under sequence parallelism the batch is sharded over the data shards
     # only; each sp group of sp_size devices holds one batch shard's clips
@@ -236,10 +300,17 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     if loader is None:
         loader = Loader(dataset, batch_size=global_batch,
                         num_workers=cfg.workers, seed=cfg.seed,
-                        worker_mode=cfg.worker_mode)
+                        worker_mode=cfg.worker_mode,
+                        process_shard=((jax.process_index(), nproc)
+                                       if nproc > 1 else None))
 
-    plotter = PlotterThread(os.path.join(img_path, "train"))
-    logger = Logger(img_path)
+    primary = multihost.is_primary()
+    if primary:
+        plotter = PlotterThread(os.path.join(img_path, "train"))
+        logger = Logger(img_path)
+    else:  # reference: rank-0-only logging (main_nce.py:148-151,263-267)
+        plotter = _NullSink()
+        logger = _NullSink()
     put_batch, put_repl = make_upload(mesh)
     state, opt_state = put_repl((state, opt_state))
     run_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -327,12 +398,13 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                 # partial epoch's updates are kept in `state`; re-running
                 # its data is the same epoch-granularity semantics as the
                 # reference's boundary-only checkpoints, minus the lost work)
-                save_checkpoint(
-                    {"epoch": epoch - 1, "state": jax.device_get(state),
-                     "opt_state": jax.device_get(opt_state),
-                     "best_acc": best_acc, "iteration": iteration},
-                    is_best=False, gap=0, filename=ck, keep_all=True,
-                    fmt=cfg.ckpt_format)
+                if primary:  # state is replicated: host 0 holds it all
+                    save_checkpoint(
+                        {"epoch": epoch - 1, "state": jax.device_get(state),
+                         "opt_state": jax.device_get(opt_state),
+                         "best_acc": best_acc, "iteration": iteration},
+                        is_best=False, gap=0, filename=ck, keep_all=True,
+                        fmt=cfg.ckpt_format)
                 print(f"=> preemption checkpoint written: {ck} "
                       f"(resume with --resume {ck})", flush=True)
                 preempted = True
@@ -356,6 +428,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         if (epoch % cfg.save_freq == 0) or (epoch == cfg.epochs - 1):
             is_best = train_acc > best_acc
             best_acc = max(train_acc, best_acc)
+            if not primary:  # replicated state: host 0's copy is the ckpt
+                continue
             save_checkpoint(
                 {"epoch": epoch, "state": jax.device_get(state),
                  "opt_state": jax.device_get(opt_state),

@@ -116,6 +116,8 @@ def main():
             ncrop.run_ncrop_test(model, state, cfg, make_dataset, out_dir,
                                  os.path.basename(cfg.test))
         else:
+            # parity: the reference's test() also rejects --test without a
+            # crop-mode flag (/root/reference/eval/main_classifier.py:769)
             raise NotImplementedError
         return
 

@@ -72,6 +72,15 @@ def parse_args():
                         choices=['flax', 'orbax'],
                         help='checkpoint backend: single-file flax-msgpack '
                              'or orbax dirs (sharded save, resharding resume)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='one JAX process per TPU host; rendezvous '
+                             'auto-detected on TPU pods')
+    parser.add_argument('--coordinator', default='', type=str,
+                        help='explicit host:port rendezvous (CPU/GPU '
+                             'clusters); use with --num_processes/'
+                             '--process_id')
+    parser.add_argument('--num_processes', default=0, type=int)
+    parser.add_argument('--process_id', default=-1, type=int)
     return parser.parse_args()
 
 
@@ -94,7 +103,9 @@ def cfg_from_args(args) -> PretrainConfig:
         dcn_size=args.dcn_size,
         sp_size=args.sp_size,
         worker_mode=args.worker_mode, profile_steps=args.profile_steps,
-        ckpt_format=args.ckpt_format, data_root=args.data_root)
+        ckpt_format=args.ckpt_format, data_root=args.data_root,
+        multihost=args.multihost, coordinator=args.coordinator,
+        num_processes=args.num_processes, process_id=args.process_id)
 
 
 if __name__ == '__main__':
