@@ -31,12 +31,17 @@ import jax.numpy as jnp
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
-_LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601-2
+# ITU-R 601-2 luma weights. Kept as a Python tuple (not a jnp array): a
+# module-level device array would initialize the XLA backend at import time,
+# which breaks multihost startup — jax.distributed.initialize() must precede
+# the first backend touch (see parallel/multihost.py). einsum folds the
+# constant under jit either way.
+_LUMA = (0.299, 0.587, 0.114)
 BLUR_TAPS = 13  # covers 3*sigma_max = 6 pixels each side at sigma = 2
 
 
 def _luma(x):
-    return jnp.einsum("...c,c->...", x, _LUMA)
+    return jnp.einsum("...c,c->...", x, jnp.asarray(_LUMA, jnp.float32))
 
 
 def adjust_brightness(x, factor):

@@ -42,6 +42,28 @@ import jax
 _initialized = False
 
 
+def _distributed_is_initialized() -> bool:
+    if hasattr(jax.distributed, "is_initialized"):  # public since 0.4.34
+        return bool(jax.distributed.is_initialized())
+    from jax._src import distributed as _dist  # pre-0.4.34 fallback
+
+    return getattr(_dist.global_state, "client", None) is not None
+
+
+def initialize_from_args(args) -> None:
+    """CLI-entry hook: start the distributed runtime from parsed argparse
+    flags BEFORE any backend-touching import.
+
+    jax.distributed.initialize() must run before the first JAX backend
+    touch (device query, array creation); the training stack's import
+    chain is kept backend-clean, but CLI mains call this defensively right
+    after parse_args, before importing coclr_tpu.train.* — the import-
+    order crash this prevents was ADVICE-r3's high finding. `args` only
+    needs .multihost/.coordinator/.num_processes/.process_id attributes
+    (both pretrain CLIs and the eval classifier satisfy this)."""
+    maybe_initialize(args)
+
+
 def maybe_initialize(cfg) -> None:
     """Idempotently start the JAX distributed runtime per `cfg`.
 
@@ -52,11 +74,10 @@ def maybe_initialize(cfg) -> None:
     if _initialized:
         return
     # tolerate an embedder having already started the runtime (e.g. the
-    # test worker initializes before importing coclr_tpu, because this
-    # package's import chain touches the backend) — jax.distributed
-    # raises on double-init. No public "is initialized" predicate exists.
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
+    # CLI mains early-initialize before importing the training stack) —
+    # jax.distributed raises on double-init. jax >= 0.4.34 has the public
+    # predicate; fall back to the private state only on older versions.
+    if _distributed_is_initialized():
         _initialized = True
         return
     multihost = getattr(cfg, "multihost", False)
@@ -111,6 +132,62 @@ def suppress_nonprimary_print() -> None:
     builtins.print = print_rank0
 
 
-__all__ = ["maybe_initialize", "process_count", "process_index",
-           "is_primary", "global_devices_process_major",
-           "suppress_nonprimary_print"]
+def broadcast_from_primary(tree):
+    """Replace every host's copy of a host-local pytree with process 0's.
+
+    Used on the restored/initial training state before upload: each host
+    independently loads --resume (checkpoints are written primary-only), so
+    on a non-shared filesystem non-primary hosts would silently fall back
+    to from-scratch init while host 0 resumes — and the replicated-upload
+    path (make_upload's put_repl) assumes host-identical bytes without
+    verification. The reference avoids this class of bug because DDP
+    broadcasts rank-0 parameters at wrap time (torch DDP semantics);
+    this is the JAX equivalent (ADVICE-r3 medium finding).
+
+    No-op single-process. Arrays are broadcast via multihost_utils
+    (psum-based, one-time cost at startup); non-array leaves (ints,
+    floats, None) ride along by being packed as arrays where possible.
+    """
+    if jax.process_count() == 1:
+        return tree
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree.flatten(tree)
+    arrs = [np.asarray(jax.device_get(x)) for x in leaves]
+    out = multihost_utils.broadcast_one_to_all(arrs)
+    # preserve python scalar-ness for leaves that came in as int/float
+    restored = []
+    for orig, got in zip(leaves, out):
+        if isinstance(orig, (int, np.integer)):
+            restored.append(type(orig)(got) if isinstance(orig, int)
+                            else got)
+        elif isinstance(orig, float):
+            restored.append(float(got))
+        else:
+            restored.append(got)
+    return jax.tree.unflatten(treedef, restored)
+
+
+def agree_flag(flag: bool) -> bool:
+    """Cross-host OR of a local boolean (one tiny allgather).
+
+    Preemption agreement: a SIGTERM delivered to only a subset of hosts
+    must not make that subset stop issuing collectives while the rest
+    block in the next psum — a distributed hang instead of a clean exit
+    (ADVICE-r3 low finding). The step loop calls this once per step under
+    multihost so every host leaves the loop at the same iteration.
+    Single-process: returns the flag unchanged, no device work."""
+    if jax.process_count() == 1:
+        return flag
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(
+        np.int32(bool(flag))).max())
+
+
+__all__ = ["maybe_initialize", "initialize_from_args", "process_count",
+           "process_index", "is_primary", "global_devices_process_major",
+           "suppress_nonprimary_print", "broadcast_from_primary",
+           "agree_flag"]

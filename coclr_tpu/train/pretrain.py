@@ -191,7 +191,12 @@ class _PreemptionGuard:
     saves `preempt.ckpt` (full resume state, epoch wound back so --resume
     re-runs the interrupted epoch) before exiting with code 0. A second
     signal falls through to the previous handler (hard kill available).
-    Installed only when running in the main thread (signal API limit)."""
+    Installed only when running in the main thread (signal API limit).
+
+    Multihost: the flag is agreed per step via multihost.agree_flag (a
+    signal on any host exits ALL hosts at the same iteration), and only
+    process 0's filesystem receives preempt.ckpt — resume must point at
+    host 0's model dir (or a shared filesystem)."""
 
     def __init__(self):
         self.flagged = False
@@ -279,7 +284,15 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
     img_path, model_path, exp_path = set_path(cfg, coclr=is_coclr)
     start_epoch, iteration, best_acc = cfg.start_epoch, 1, 0.0
 
-    if cfg.resume and checkpoint_exists(cfg.resume):
+    # Multihost: only process 0 reads checkpoints (they are written
+    # primary-only, so on a non-shared filesystem other hosts would
+    # silently init from scratch while host 0 resumes — replicated state
+    # would diverge; ADVICE-r3 medium). Non-primaries keep the scratch
+    # init and receive host 0's bytes via broadcast below.
+    primary = multihost.is_primary()
+    if not primary:
+        pass  # state stays at the (identical-seed) scratch init
+    elif cfg.resume and checkpoint_exists(cfg.resume):
         ckpt = load_checkpoint(cfg.resume, state_template=state,
                                opt_template=opt_state)
         state, opt_state = ckpt["state"], ckpt["opt_state"]
@@ -294,6 +307,12 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         state = init_surgery.init_pretrain_weights(state, cfg.pretrain)
     else:
         print("=> train from scratch")
+    if nproc > 1:
+        state, opt_state, meta = multihost.broadcast_from_primary(
+            (state, opt_state,
+             (start_epoch, iteration, float(best_acc))))
+        start_epoch, iteration, best_acc = (
+            int(meta[0]), int(meta[1]), float(meta[2]))
 
     if dataset is None:
         dataset = build_dataset(cfg)
@@ -304,7 +323,6 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                         process_shard=((jax.process_index(), nproc)
                                        if nproc > 1 else None))
 
-    primary = multihost.is_primary()
     if primary:
         plotter = PlotterThread(os.path.join(img_path, "train"))
         logger = Logger(img_path)
@@ -390,7 +408,13 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                                  iteration)
             iteration += 1
             steps_this_epoch += 1
-            if guard.flagged:
+            # Under multihost the guard flag must be AGREED across hosts:
+            # a SIGTERM on a subset of hosts would otherwise stop that
+            # subset's collectives while the rest block in the next psum —
+            # a distributed hang, not a clean preemption (ADVICE-r3 low).
+            # agree_flag is a tiny per-step allgather, multihost-only.
+            if multihost.agree_flag(guard.flagged):
+                guard.flagged = True  # exit uniformly even if not signaled
                 drain(pending)
                 pending = None
                 ck = os.path.join(model_path, "preempt.ckpt")

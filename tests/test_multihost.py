@@ -81,6 +81,93 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def test_multihost_cli_smoke(synth, tmp_path):
+    """The DOCUMENTED multihost entry point: `main_nce.py --coordinator ...
+    --num_processes 2 --process_id r` as two real subprocesses.
+
+    ADVICE-r3 high: the CLIs used to import the training stack at module
+    top, whose import chain initialized the XLA backend before
+    jax.distributed.initialize could run — the flags crashed at startup and
+    only tests/mh_worker.py (which initializes first by hand) masked it.
+    This pins the CLI path itself: early init in __main__ plus a
+    backend-clean import chain."""
+    port = _free_port()
+    mr = tmp_path / "mr"
+    mr.mkdir()
+    os.symlink(synth["root"], mr / "ucf101")
+    data_root = tmp_path / "data"
+    (data_root / "UCF101").mkdir(parents=True)
+    os.link(synth["db_path"], data_root / "UCF101" / "ucf101_frame.lmdb")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""),
+               COCLR_META_ROOT=str(mr))
+    args = [sys.executable, "-u", os.path.join(REPO, "main_nce.py"),
+            "--dataset", "ucf101-2clip", "--net", "tiny", "--model",
+            "infonce", "--seq_len", "4", "--img_dim", "32", "--batch_size",
+            "1", "--moco-k", "16", "--moco-dim", "16", "--epochs", "1",
+            "--print_freq", "1", "-j", "1", "--compute_dtype", "float32",
+            "--data_root", str(data_root), "--prefix", "mhcli",
+            "--coordinator", f"127.0.0.1:{port}", "--num_processes", "2"]
+    procs = [subprocess.Popen(args + ["--process_id", str(r)],
+                              cwd=str(tmp_path), env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for r in range(2)]
+    logs = [p.communicate(timeout=900)[0].decode(errors="replace")
+            for p in procs]
+    for r, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {r}:\n{logs[r][-4000:]}"
+    assert "multihost: process 0/2" in logs[0], logs[0][-2000:]
+    assert "finished" in logs[0], logs[0][-2000:]
+    # non-primary stdout is suppressed (reference rank-0-only printing)
+    assert "finished" not in logs[1], logs[1][-2000:]
+
+
+_BCAST_WORKER = """
+import sys
+import numpy as np
+import jax
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+from coclr_tpu.parallel import multihost
+r = jax.process_index()
+# divergent host-local trees: rank r's bytes everywhere
+tree = {"w": np.full((3,), float(r), np.float32), "n": r, "f": float(r)}
+out = multihost.broadcast_from_primary(tree)
+assert float(np.asarray(out["w"]).sum()) == 0.0, out
+assert int(out["n"]) == 0 and float(out["f"]) == 0.0, out
+# preemption agreement: a flag on rank 0 only must be seen by BOTH
+assert multihost.agree_flag(r == 0) is True
+assert multihost.agree_flag(False) is False
+print("BCAST_OK", flush=True)
+"""
+
+
+def test_broadcast_and_agree_two_process(tmp_path):
+    """broadcast_from_primary replaces every host's state with process 0's
+    (the divergence guard behind primary-only checkpoint restore,
+    ADVICE-r3 medium) and agree_flag ORs the preemption flag across hosts
+    (ADVICE-r3 low) — pinned with genuinely divergent 2-process inputs."""
+    port = _free_port()
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _BCAST_WORKER, f"127.0.0.1:{port}", str(r)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    logs = [p.communicate(timeout=300)[0].decode(errors="replace")
+            for p in procs]
+    for r, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {r}:\n{logs[r][-3000:]}"
+        assert "BCAST_OK" in logs[r]
+
+
 def test_two_process_full_driver_equivalence(synth, tmp_path, monkeypatch):
     """run_pretrain as a genuine 2-process distributed job (2 local CPU
     devices each -> 4 global) == the same global workload single-process
