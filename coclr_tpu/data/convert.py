@@ -37,19 +37,44 @@ def _read_video_frames(video_path: str) -> List[bytes]:
     return out
 
 
-def make_dataset_lmdb(dataset_path: str, filename: str,
-                      workers: int = 16, psize: int = 4096) -> str:
-    """Build `<filename>` LMDB from `<dataset_path>/<action>/<video>/*.jpg`."""
-    # id assignment: seed-0 shuffle over sorted action/video names
-    # (convert_video_to_lmdb.py:56-62)
+def _write_lmdb(names_action_major: List[str], get_frames, filename: str,
+                psize: int = 4096, map_fn=map) -> str:
+    """Shared LMDB emit: seed-0 shuffled id assignment + metadata records
+    (convert_video_to_lmdb.py:56-87). `names_action_major` is the
+    '<action>/<video>' list in action-major order; `get_frames(name)`
+    returns that video's JPEG byte list (`map_fn` lets the directory
+    reader prefetch with a thread pool)."""
     random.seed(0)
-    video_list = sorted(glob.glob(os.path.join(dataset_path, "*", "*")))
-    video_list = ["/".join(x.split("/")[-2:]) for x in video_list]
+    video_list = sorted(names_action_major)
     random.shuffle(video_list)
     with open(filename + "-order", "w") as f:
         f.write("\n".join(video_list))
     get_video_id = dict(zip(video_list, range(len(video_list))))
 
+    key_of = {n: ("%09d" % get_video_id[n]).encode("ascii")
+              for n in names_action_major}
+    global_key_list = [key_of[n] for n in names_action_major]
+    vlen_by_name = {}
+
+    # our writer needs sorted key order
+    by_key = sorted(names_action_major, key=lambda n: key_of[n])
+    writer = LMDBWriter(filename, psize=psize)
+    for name, frames in zip(by_key, map_fn(get_frames, by_key)):
+        vlen_by_name[name] = len(frames)
+        writer.add(key_of[name], packb(frames))
+
+    video_len_list = [vlen_by_name[n] for n in names_action_major]
+    # metadata keys all start with '_' (0x5f) > '9', so they sort after ids
+    writer.add(b"__keys__", packb(global_key_list))
+    writer.add(b"__len__", packb(len(global_key_list)))
+    writer.add(b"__order__", packb(video_list))
+    writer.add(b"__vlen__", packb(video_len_list))
+    return writer.close()
+
+
+def make_dataset_lmdb(dataset_path: str, filename: str,
+                      workers: int = 16, psize: int = 4096) -> str:
+    """Build `<filename>` LMDB from `<dataset_path>/<action>/<video>/*.jpg`."""
     # action-major processing order for __keys__/__vlen__
     # (convert_video_to_lmdb.py:65-77)
     action_list = sorted(glob.glob(os.path.join(dataset_path, "*")))
@@ -59,24 +84,22 @@ def make_dataset_lmdb(dataset_path: str, filename: str,
         for vp in sorted(glob.glob(os.path.join(ap, "*"))):
             ordered_names.append(os.path.join(action_name, os.path.basename(vp)))
 
-    key_of = {n: ("%09d" % get_video_id[n]).encode("ascii") for n in ordered_names}
-    global_key_list = [key_of[n] for n in ordered_names]
-    vlen_by_name = {}
-
-    # our writer needs sorted key order; read videos with a thread pool in
-    # that order and stream pages out
-    by_key = sorted(ordered_names, key=lambda n: key_of[n])
-    writer = LMDBWriter(filename, psize=psize)
+    # read with a thread pool, videos prefetched in write order
     with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
-        paths = [os.path.join(dataset_path, n) for n in by_key]
-        for name, frames in zip(by_key, ex.map(_read_video_frames, paths)):
-            vlen_by_name[name] = len(frames)
-            writer.add(key_of[name], packb(frames))
+        return _write_lmdb(
+            ordered_names,
+            lambda n: _read_video_frames(os.path.join(dataset_path, n)),
+            filename, psize=psize, map_fn=ex.map)
 
-    video_len_list = [vlen_by_name[n] for n in ordered_names]
-    # metadata keys all start with '_' (0x5f) > '9', so they sort after ids
-    writer.add(b"__keys__", packb(global_key_list))
-    writer.add(b"__len__", packb(len(global_key_list)))
-    writer.add(b"__order__", packb(video_list))
-    writer.add(b"__vlen__", packb(video_len_list))
-    return writer.close()
+
+def make_dataset_lmdb_from_videos(videos, filename: str,
+                                  psize: int = 4096) -> str:
+    """Build `<filename>` LMDB directly from in-memory JPEG byte lists:
+    `videos` maps '<action>/<video>' -> [jpeg bytes, ...].
+
+    Same id assignment/metadata as make_dataset_lmdb, skipping the
+    frames-directory round-trip — at full UCF101 cardinality (13k videos,
+    1.25M frames) the intermediate tiny-file tree would double disk use
+    and dominate build time on this box."""
+    ordered = sorted(videos)  # action-major == sorted for 'action/video'
+    return _write_lmdb(ordered, lambda n: videos[n], filename, psize=psize)

@@ -143,6 +143,15 @@ def main():
                     help="basename for the <prefix>.json/.md artifacts at "
                          "the repo root (replication drives must not "
                          "overwrite the committed primary artifact)")
+    ap.add_argument("--short_frac", default=0.0, type=float,
+                    help="fraction of train clips rendered too short, to "
+                         "exercise the reference drop-short filter at scale "
+                         "(lmdb_dataset.py:84-108); test split unaffected")
+    ap.add_argument("--skip_tta", action="store_true",
+                    help="downstream: run the linear probes but skip the "
+                         "ten-crop TTA + fusion (decode-bound: ~10 full "
+                         "test-set passes — hours at full cardinality on a "
+                         "1-core host)")
     ap.add_argument("--skip_downstream", action="store_true",
                     help="stop after the post-cycle retrievals (rounds 1-2 "
                          "behavior; downstream probes/TTA/fusion were manual)")
@@ -167,7 +176,8 @@ def main():
             n_groups=args.n_groups, n_clips=args.n_clips,
             n_frames=args.seq_len + 16, size=(136, 180), flow=True,
             content="learnable", seed=args.seed,
-            test_groups=args.test_groups)
+            test_groups=args.test_groups, in_memory=True,
+            short_frac=args.short_frac, progress=True)
         os.makedirs(os.path.dirname(db), exist_ok=True)
         os.replace(out["db_path"], db)
         os.replace(out["db_path_flow"], dbf)
@@ -313,6 +323,8 @@ def main():
             if not bests:
                 raise RuntimeError(f"no probe ckpt for {mod}")
             best = max(bests, key=os.path.getmtime)
+            if args.skip_tta:
+                continue
             run_cli(tag + "_tencrop",
                     [os.path.join(REPO, "eval", "main_classifier.py"),
                      "--dataset", dataset, "--test", best, "--ten_crop"]
@@ -321,12 +333,13 @@ def main():
                                            "*-prob-ten.json"))
             prob_json[mod] = max(jsons, key=os.path.getmtime)
 
-        run_cli("merge_2stream",
-                [os.path.join(REPO, "eval", "merge_2stream_prob.py"),
-                 "--mode", "c", "--prob1", prob_json["rgb"],
-                 "--prob2", prob_json["flow"],
-                 "--class_ind", os.path.join(meta_dir, "ClassInd.txt")],
-                wd, log_dir, done_marker="merged accuracy")
+        if not args.skip_tta:
+            run_cli("merge_2stream",
+                    [os.path.join(REPO, "eval", "merge_2stream_prob.py"),
+                     "--mode", "c", "--prob1", prob_json["rgb"],
+                     "--prob2", prob_json["flow"],
+                     "--class_ind", os.path.join(meta_dir, "ClassInd.txt")],
+                    wd, log_dir, done_marker="merged accuracy")
 
         feat_dir = os.path.join(wd, "feat_retrieval_rgb_coclr")
         run_cli("feature_probe_rgb",
