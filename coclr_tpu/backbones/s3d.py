@@ -17,6 +17,7 @@ beta=0 (s3dg.py:21-22,53-56).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -372,21 +373,31 @@ class S3D(nn.Module):
         x = BasicConv3d(64, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="Conv_2b")(x, train)
         x = STConv3d(192, 3, (1, 1), 1, d, sp_axis=sp, name="Conv_2c")(x, train)
 
+        # COCLR_REMAT=block: rematerialize each inception block in the
+        # backward pass (jax.checkpoint via flax lifted remat) — saves only
+        # block inputs as AD residuals, recomputing branch activations in
+        # bwd. A bandwidth-bound-step experiment (VERDICT-r3 ask #2a): fwd
+        # writes fewer residual bytes, bwd re-reads/recomputes. Measured
+        # numbers in DESIGN.md "Round 4".
+        Sep = SepInception
+        if os.environ.get("COCLR_REMAT", "") == "block":
+            Sep = nn.remat(SepInception, static_argnums=(2,))
+
         # block3 (s3dg.py:162-169)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
-        x = SepInception([64, 96, 128, 16, 32, 32], self.gating, d, sp_axis=sp, name="Mixed_3b")(x, train)
-        x = SepInception([128, 128, 192, 32, 96, 64], self.gating, d, sp_axis=sp, name="Mixed_3c")(x, train)
+        x = Sep([64, 96, 128, 16, 32, 32], self.gating, d, sp_axis=sp, name="Mixed_3b")(x, train)
+        x = Sep([128, 128, 192, 32, 96, 64], self.gating, d, sp_axis=sp, name="Mixed_3c")(x, train)
 
         # block4 (s3dg.py:173-186)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1)] * 3, sp_axis=sp_now)
-        x = SepInception([192, 96, 208, 16, 48, 64], self.gating, d, sp_axis=sp, name="Mixed_4b")(x, train)
-        x = SepInception([160, 112, 224, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4c")(x, train)
-        x = SepInception([128, 128, 256, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4d")(x, train)
-        x = SepInception([112, 144, 288, 32, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4e")(x, train)
-        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_4f")(x, train)
+        x = Sep([192, 96, 208, 16, 48, 64], self.gating, d, sp_axis=sp, name="Mixed_4b")(x, train)
+        x = Sep([160, 112, 224, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4c")(x, train)
+        x = Sep([128, 128, 256, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4d")(x, train)
+        x = Sep([112, 144, 288, 32, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4e")(x, train)
+        x = Sep([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_4f")(x, train)
 
         # block5 (s3dg.py:190-197)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3, sp_axis=sp_now)
-        x = SepInception([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5b")(x, train)
-        x = SepInception([384, 192, 384, 48, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5c")(x, train)
+        x = Sep([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5b")(x, train)
+        x = Sep([384, 192, 384, 48, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5c")(x, train)
         return x

@@ -54,6 +54,21 @@ def checkpoint_exists(path: str) -> bool:
 
 def _std_checkpointer():
     import orbax.checkpoint as ocp
+    if jax.process_count() > 1:
+        # Checkpoint IO here is primary-only-with-broadcast (train/pretrain
+        # .py): the payload is device_get numpy, ONE process calls save/
+        # restore, others never enter. Orbax's default Checkpointer assumes
+        # all processes participate and runs sync_global_devices barriers
+        # ('_Checkpointer:save_start'), which collide with the other ranks'
+        # next real collective (found by tests/test_multihost.py::
+        # test_multihost_orbax_cross_mesh_resume: AssertionError
+        # 'sync_global_devices name mismatch'). Scope orbax to the calling
+        # process so no cross-host barrier is issued.
+        me = jax.process_index()
+        mp = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"coclr_p{me}")
+        return ocp.StandardCheckpointer(multiprocessing_options=mp)
     return ocp.StandardCheckpointer()
 
 

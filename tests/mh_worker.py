@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--max_steps", type=int, default=3)
+    ap.add_argument("--ckpt_format", default="flax")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=%d"
@@ -57,7 +58,7 @@ def main():
         epochs=1, workers=2, compute_dtype="float32", schedule=(100,),
         print_freq=1, decode_size=(48, 64),
         coordinator=args.coordinator, num_processes=args.num_processes,
-        process_id=args.process_id)
+        process_id=args.process_id, ckpt_format=args.ckpt_format)
     ds = UCF101LMDB_2CLIP(root=args.root, db_path=args.db_path, mode="train",
                           num_frames=cfg.seq_len, ds=cfg.ds,
                           return_label=True, img_dim=cfg.img_dim,

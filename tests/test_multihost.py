@@ -237,3 +237,76 @@ def test_two_process_full_driver_equivalence(synth, tmp_path, monkeypatch):
     # the single-process XLA:CPU collectives — tolerance, not bitwise
     np.testing.assert_allclose(res[0]["param_l1"], param_l1, rtol=2e-5)
     np.testing.assert_allclose(res[0]["queue_l1"], queue_l1, rtol=2e-5)
+
+
+def test_multihost_orbax_cross_mesh_resume(synth, tmp_path, monkeypatch):
+    """Composition flow (VERDICT-r3 ask #3): a 2-process multihost job
+    CHECKPOINTS IN ORBAX FORMAT (primary-only), then a SINGLE-process run
+    on a different mesh (1 proc x 4 devices vs 2 x 2) resumes from that
+    directory. Caught a real bug: orbax's default Checkpointer runs
+    all-process sync_global_devices barriers inside save, so host 0's
+    primary-only save collided with host 1's next training collective
+    ('sync_global_devices name mismatch') — --multihost --ckpt_format
+    orbax crashed at the first epoch boundary until _std_checkpointer
+    scoped orbax to the calling process (utils/checkpoint.py)."""
+    port = _free_port()
+    mh_dir = tmp_path / "mh_orbax"
+    mh_dir.mkdir()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(REPO, "tests", "mh_worker.py")
+    outs = [str(tmp_path / f"oout{r}.json") for r in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--process_id", str(r),
+             "--num_processes", "2",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--root", synth["root"], "--db_path", synth["db_path"],
+             "--workdir", str(mh_dir), "--out", outs[r],
+             "--ckpt_format", "orbax"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)]
+    logs = [p.communicate(timeout=900)[0].decode(errors="replace")
+            for p in procs]
+    for r, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {r} failed:\n{logs[r][-4000:]}"
+    res = [json.load(open(o)) for o in outs]
+
+    import glob
+
+    from coclr_tpu.utils.checkpoint import is_orbax_checkpoint
+    cks = glob.glob(str(mh_dir / "log-pretrain" / "**" / "epoch0.ckpt"),
+                    recursive=True)
+    assert len(cks) == 1 and is_orbax_checkpoint(cks[0]), cks
+
+    # resume the orbax checkpoint single-process on a data=4 mesh: the
+    # restored replicated state must carry the multihost job's exact values
+    single_dir = tmp_path / "single_orbax"
+    single_dir.mkdir()
+    monkeypatch.chdir(single_dir)
+    from coclr_tpu.config import PretrainConfig
+    from coclr_tpu.data.datasets import UCF101LMDB_2CLIP
+    from coclr_tpu.train.pretrain import run_pretrain
+    cfg = PretrainConfig(
+        net="tiny", model="infonce", dataset="ucf101-2clip",
+        seq_len=4, img_dim=32, batch_size=1, moco_k=32, moco_dim=16,
+        epochs=1, workers=2, compute_dtype="float32", schedule=(100,),
+        print_freq=1, decode_size=(48, 64), num_devices=4,
+        ckpt_format="orbax", resume=cks[0])
+    ds = UCF101LMDB_2CLIP(root=synth["root"], db_path=synth["db_path"],
+                          mode="train", num_frames=cfg.seq_len, ds=cfg.ds,
+                          return_label=True, img_dim=cfg.img_dim,
+                          seed=cfg.seed)
+    # epoch0 was the final epoch: resume returns the restored state untouched
+    state, _opt, _info = run_pretrain(cfg, dataset=ds)
+    import jax
+    param_l1 = float(sum(
+        np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
+        for x in jax.tree.leaves(state.params_q)))
+    queue_l1 = float(np.abs(
+        np.asarray(jax.device_get(state.queue), np.float64)).sum())
+    assert int(np.asarray(jax.device_get(state.queue_ptr))) \
+        == res[0]["queue_ptr"]
+    np.testing.assert_allclose(param_l1, res[0]["param_l1"], rtol=1e-6)
+    np.testing.assert_allclose(queue_l1, res[0]["queue_l1"], rtol=1e-6)
