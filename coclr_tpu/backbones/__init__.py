@@ -19,7 +19,7 @@ class TinyBackbone(nn.Module):
     backbones use (conv/BN/pool/stats) at CPU-test speed."""
 
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -33,11 +33,12 @@ class TinyBackbone(nn.Module):
 
 def select_backbone(network: str, first_channel: int = 3,
                     dtype=jnp.bfloat16,
-                    sp_axis: str | None = None) -> Tuple[nn.Module, dict]:
+                    sp_axis=None) -> Tuple[nn.Module, dict]:
     """Return (module, {'feature_size': int}) like the reference registry.
 
-    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) —
-    supported by every registered backbone.
+    `sp_axis`: sequence-parallel mesh axes (ops/seqpar.py: None, bare
+    temporal axis name, or SPAxes(t, h)) — supported by every registered
+    backbone, spatial included.
     """
     import os
 

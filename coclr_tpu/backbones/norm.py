@@ -130,16 +130,17 @@ class FoldedBatchNorm(nn.Module):
     `dtype` is the apply/compute dtype of the elementwise affine (the
     surrounding conv compute dtype); statistics and parameters are float32.
 
-    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py). When
+    `sp_axis`: sequence-parallel mesh axis/axes (ops/seqpar.py — None, a
+    bare temporal axis name, or an SPAxes naming temporal+spatial). When
     set, batch statistics are pmean'd over it so the statistic scope stays
-    "this data shard's batch, full T" — numerically the unsharded BN, and
-    exactly the per-device-batch semantics MoCo's shuffle-BN relies on.
+    "this data shard's batch, full T x H" — numerically the unsharded BN,
+    and exactly the per-device-batch semantics MoCo's shuffle-BN relies on.
     """
 
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
@@ -151,14 +152,16 @@ class FoldedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                nn.initializers.ones, None, (c,), jnp.float32)
 
+        from coclr_tpu.ops.seqpar import sp_names, sp_pmean
+
+        names = sp_names(self.sp_axis)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        elif self.sp_axis is not None and not self.is_initializing():
-            # sync over the sp shards of the time axis: E[x], E[x^2] are
-            # means over equal-size shards, so pmean composes them exactly
+        elif names and not self.is_initializing():
+            # sync over the sp shards of the time/height axes: E[x], E[x^2]
+            # are means over equal-size shards, so pmean composes exactly
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
-            from coclr_tpu.ops.seqpar import sp_pmean
             mean = sp_pmean(jnp.mean(xf, axis=axes), self.sp_axis)
             ex2 = sp_pmean(jnp.mean(xf * xf, axis=axes), self.sp_axis)
             var = jnp.maximum(ex2 - mean * mean, 0.0)
@@ -171,8 +174,8 @@ class FoldedBatchNorm(nn.Module):
                 # one) — flax uses biased for both; torch semantics are kept
                 # here for eval-mode parity with reference checkpoints.
                 n = x.size // c
-                if self.sp_axis is not None:
-                    n = n * jax.lax.axis_size(self.sp_axis)
+                for nm in names:
+                    n = n * jax.lax.axis_size(nm)
                 corr = n / max(n - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)

@@ -10,13 +10,18 @@ Initializers per the reference: kaiming normal fan_out for convs
 (resnet_2d3d.py:150-153), BN gamma=1 beta=0 (:154-156).
 Layout [B, T, H, W, C]; bf16 conv compute / f32 params+BN.
 
-`sp_axis` (temporal sequence parallelism, ops/seqpar.py — no reference
-counterpart): only the stem conv (k_t=5, stride 2, pad 2) and the 3D
+`sp_axis` (sequence parallelism, ops/seqpar.py — no reference
+counterpart; None, a temporal mesh-axis name, or an SPAxes(t, h)):
+temporally, only the stem conv (k_t=5, stride 2, pad 2) and the 3D
 bottlenecks' conv1 (k_t=3, pad 1) touch time; each halo-exchanges its pad
 width and runs VALID on the local block. Temporal strides elsewhere
-(downsample/conv2) are always 1 in both published configs, and the max
-pool is spatial-only, so no other site communicates. Requires the local
-T chunk even (stem stride 2): T % (2*sp) == 0.
+(downsample/conv2) are always 1 in both published configs. Requires the
+local T chunk even (stem stride 2): T % (2*sp) == 0. Under SPATIAL
+sequence parallelism (h axis, round 4) the H-kernel sites are the stem
+(k_h=7, pad 3, stride 2), the (1,3,3) stride-2 max pool, and every
+bottleneck conv2 ((1,3,3), pad 1, spatial stride) — same halo treatment;
+the stride-2 1x1x1 downsample convs tile without halo. Total spatial
+stride is 32, so the local H chunk must satisfy H % (32*sph) == 0.
 """
 
 from __future__ import annotations
@@ -66,11 +71,11 @@ class Bottleneck(nn.Module):
     stride: Tuple[int, int] = (1, 1)  # (temporal, spatial) of downsample/conv2
     use_final_relu: bool = True
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from coclr_tpu.ops.seqpar import temporal_halo
+        from coclr_tpu.ops.seqpar import sp_axes, spatial_halo, temporal_halo
 
         d = self.dtype
         expansion = 4
@@ -78,11 +83,12 @@ class Bottleneck(nn.Module):
         in_planes = x.shape[-1]
         out_planes = self.planes * expansion
         sp = None if self.is_initializing() else self.sp_axis
+        t_ax, h_ax = sp_axes(sp)
 
         if self.is_3d:
-            if sp is not None:
+            if t_ax is not None:
                 # halo the (3,1,1) conv's pad width; run VALID locally
-                h = temporal_halo(x, 1, 1, sp)
+                h = temporal_halo(x, 1, 1, t_ax)
                 h = _conv(self.planes, (3, 1, 1), (1, 1, 1), (0, 0, 0), d,
                           "conv1")(h)
             else:
@@ -93,7 +99,16 @@ class Bottleneck(nn.Module):
         h = bn_relu(h, train, d, name="bn1", sp_axis=sp)
 
         # conv2 spatial (1,3,3); spatial stride only (resnet_2d3d.py:56,99)
-        h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 1, 1), d, "conv2")(h)
+        if h_ax is not None:
+            assert h.shape[2] % ss == 0, (
+                f"local H chunk {h.shape[2]} not divisible by spatial "
+                f"stride {ss} under spatial sequence parallelism")
+            h = spatial_halo(h, 1, 1, h_ax)
+            h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 0, 1), d,
+                      "conv2")(h)
+        else:
+            h = _conv(self.planes, (1, 3, 3), (1, ss, ss), (0, 1, 1), d,
+                      "conv2")(h)
         h = bn_relu(h, train, d, name="bn2", sp_axis=sp)
 
         h = _conv(out_planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, "conv3")(h)
@@ -122,28 +137,40 @@ class ResNet2d3d(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     input_channel: int = 3
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from coclr_tpu.ops.seqpar import temporal_halo
+        from coclr_tpu.ops.seqpar import sp_axes, spatial_halo, temporal_halo
 
         d = self.dtype
         x = x.astype(d)
         sp = None if self.is_initializing() else self.sp_axis
+        t_ax, h_ax = sp_axes(sp)
 
-        if sp is not None:
+        t_pad, h_pad = (2, 2), (3, 3)
+        if t_ax is not None:
             # stem (k_t=5, pad 2, stride 2): local T chunk must tile the
             # stride for the halo'd VALID conv to be exact (seqpar.py)
             assert x.shape[1] % 2 == 0, (
                 f"sequence parallelism needs the local T chunk even for the "
                 f"stride-2 stem; got T/sp={x.shape[1]}")
-            x = temporal_halo(x, 2, 2, sp)
-            x = _conv(64, (5, 7, 7), (2, 2, 2), (0, 3, 3), d, "conv1")(x)
-        else:
-            x = _conv(64, (5, 7, 7), (2, 2, 2), (2, 3, 3), d, "conv1")(x)
+            x = temporal_halo(x, 2, 2, t_ax)
+            t_pad = (0, 0)
+        if h_ax is not None:
+            assert x.shape[2] % 32 == 0, (
+                f"spatially-sequence-parallel ResNet-2d3d needs the local H "
+                f"chunk ({x.shape[2]}) divisible by the total spatial "
+                f"stride 32")
+            x = spatial_halo(x, 3, 3, h_ax)
+            h_pad = (0, 0)
+        x = nn.Conv(64, kernel_size=(5, 7, 7), strides=(2, 2, 2),
+                    padding=[t_pad, h_pad, (3, 3)], use_bias=False,
+                    kernel_init=kaiming_init, dtype=d,
+                    param_dtype=jnp.float32, name="conv1")(x)
         x = bn_relu(x, train, d, name="bn1", sp_axis=sp)
-        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
+                        sp_axis=sp)
 
         planes = (64, 128, 256, 512)
         for li in range(4):
@@ -172,7 +199,7 @@ class ResNet2d3d(nn.Module):
 
 
 def r2d3d50(input_channel: int = 3, dtype=jnp.bfloat16,
-            sp_axis: str | None = None) -> ResNet2d3d:
+            sp_axis=None) -> ResNet2d3d:
     """CVRL ResNet-50: 2D,2D,3D,3D bottlenecks (resnet_2d3d.py:206-210)."""
     return ResNet2d3d(blocks_3d=(False, False, True, True), layers=(3, 4, 6, 3),
                       input_channel=input_channel, dtype=dtype,
@@ -180,7 +207,7 @@ def r2d3d50(input_channel: int = 3, dtype=jnp.bfloat16,
 
 
 def r3d50(input_channel: int = 3, dtype=jnp.bfloat16,
-          sp_axis: str | None = None) -> ResNet2d3d:
+          sp_axis=None) -> ResNet2d3d:
     """Full ResNet3D-50 (resnet_2d3d.py:213-217)."""
     return ResNet2d3d(blocks_3d=(True, True, True, True), layers=(3, 4, 6, 3),
                       input_channel=input_channel, dtype=dtype,

@@ -42,10 +42,11 @@ def _pool_1d_fwd(x, axis: int, k: int, s: int, pad):
 def max_pool_3d(x, window, strides, padding, sp_axis=None):
     """3D max pool over [B, T, H, W, C]; `padding` is per-dim (lo, hi) pairs.
 
-    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) — the
-    temporal 1-D pool then runs VALID on a halo-extended local block
+    `sp_axis`: sequence-parallel mesh axes (ops/seqpar.py; None, a bare
+    temporal axis name, or an SPAxes naming temporal+spatial) — the
+    temporal/height 1-D pools then run VALID on halo-extended local blocks
     (exact tiling; the zero-filled global edges are value-identical to the
-    -inf pad on these post-ReLU inputs, see seqpar.temporal_halo).
+    -inf pad on these post-ReLU inputs, see seqpar._halo).
 
     Torch MaxPool3d pads with -inf implicitly (s3dg.py:105,151,173,190).
 
@@ -63,18 +64,20 @@ def max_pool_3d(x, window, strides, padding, sp_axis=None):
     post-ReLU ties (any routing sends gradient to a zero).
     """
     from coclr_tpu.ops import pallas_pool
-    from coclr_tpu.ops.seqpar import temporal_halo
+    from coclr_tpu.ops.seqpar import _halo, sp_axes
 
+    t_ax, h_ax = sp_axes(sp_axis)
     use_pallas = pallas_pool.pool_backward_mode() == "pallas"
     for axis, (k, s, p) in enumerate(zip(window, strides, padding), start=1):
         if k == 1 and s == 1 and tuple(p) == (0, 0):
             continue
         p = tuple(p)
-        if sp_axis is not None and axis == 1 and (k > 1 or p != (0, 0)):
-            assert x.shape[1] % s == 0, (
-                f"local T chunk {x.shape[1]} not divisible by temporal "
-                f"pool stride {s} under sequence parallelism")
-            x = temporal_halo(x, p[0], p[1], sp_axis)
+        halo_ax = t_ax if axis == 1 else (h_ax if axis == 2 else None)
+        if halo_ax is not None and (k > 1 or p != (0, 0)):
+            assert x.shape[axis] % s == 0, (
+                f"local chunk {x.shape[axis]} (dim {axis}) not divisible "
+                f"by pool stride {s} under sequence parallelism")
+            x = _halo(x, p[0], p[1], halo_ax, dim=axis)
             p = (0, 0)
         if use_pallas:
             assert p[0] == p[1]
@@ -87,8 +90,9 @@ def max_pool_3d(x, window, strides, padding, sp_axis=None):
 class BasicConv3d(nn.Module):
     """Conv3d(bias=False) + BN + ReLU (s3dg.py:8-28).
 
-    Under sequence parallelism (`sp_axis`) a temporal kernel runs VALID on
-    a halo-extended block (exact, ops/seqpar.py); spatial dims unchanged.
+    Under sequence parallelism (`sp_axis`: None / temporal axis name /
+    SPAxes) a temporal and/or height kernel runs VALID on a halo-extended
+    block (exact, ops/seqpar.py); unsharded dims unchanged.
     """
 
     out_planes: int
@@ -96,24 +100,31 @@ class BasicConv3d(nn.Module):
     stride: Sequence[int]
     padding: Sequence[int]  # symmetric per-dim
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from coclr_tpu.ops.seqpar import temporal_halo
+        from coclr_tpu.ops.seqpar import sp_axes, spatial_halo, temporal_halo
 
         # collectives cannot run during init (outside the mesh); param and
-        # stat shapes are T-independent so init with sp off is identical
+        # stat shapes are T/H-independent so init with sp off is identical
         sp = None if self.is_initializing() else self.sp_axis
+        t_ax, h_ax = sp_axes(sp)
         pads = list(self.padding)
-        if sp is not None and (self.kernel_size[0] > 1 or pads[0] > 0):
+        if t_ax is not None and (self.kernel_size[0] > 1 or pads[0] > 0):
             # exact tiling of the halo'd VALID conv needs the local T chunk
-            # to tile the temporal stride (seqpar.temporal_halo docstring)
+            # to tile the temporal stride (seqpar._halo docstring)
             assert x.shape[1] % self.stride[0] == 0, (
                 f"local T chunk {x.shape[1]} not divisible by temporal "
                 f"stride {self.stride[0]} under sequence parallelism")
-            x = temporal_halo(x, pads[0], pads[0], sp)
+            x = temporal_halo(x, pads[0], pads[0], t_ax)
             pads[0] = 0
+        if h_ax is not None and (self.kernel_size[1] > 1 or pads[1] > 0):
+            assert x.shape[2] % self.stride[1] == 0, (
+                f"local H chunk {x.shape[2]} not divisible by spatial "
+                f"stride {self.stride[1]} under spatial sequence parallelism")
+            x = spatial_halo(x, pads[1], pads[1], h_ax)
+            pads[1] = 0
         x = nn.Conv(
             self.out_planes,
             kernel_size=tuple(self.kernel_size),
@@ -228,25 +239,37 @@ class STConv3d(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     s2d_spatial: bool = False  # exact space-to-depth path for the RGB stem
     s2d_in_channels: int = 3   # canonical Cin (input may be pre-packed 4x)
-    sp_axis: str | None = None  # temporal sequence parallelism (seqpar.py)
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from coclr_tpu.ops.seqpar import temporal_halo
+        from coclr_tpu.ops.seqpar import sp_axes, spatial_halo, temporal_halo
 
         sp = None if self.is_initializing() else self.sp_axis
+        t_ax, h_ax = sp_axes(sp)
         k, p = self.kernel_size, self.padding
         t_stride, s_stride = self.stride
         if self.s2d_spatial and s_stride == 2:
+            assert h_ax is None, (
+                "the space-to-depth stem does not support spatial sequence "
+                "parallelism (its 2x2 repack crosses the H shards); unset "
+                "COCLR_S2D_STEM or sph_size")
             x = SpaceToDepthConv(self.out_planes, k, p, self.dtype,
                                  in_channels=self.s2d_in_channels,
                                  name="conv1")(x)
         else:
+            h_pad = (p, p)
+            if h_ax is not None and (k > 1 or p > 0):
+                assert x.shape[2] % s_stride == 0, (
+                    f"local H chunk {x.shape[2]} not divisible by spatial "
+                    f"stride {s_stride} under spatial sequence parallelism")
+                x = spatial_halo(x, p, p, h_ax)
+                h_pad = (0, 0)
             x = nn.Conv(
                 self.out_planes,
                 kernel_size=(1, k, k),
                 strides=(1, s_stride, s_stride),
-                padding=[(0, 0), (p, p), (p, p)],
+                padding=[(0, 0), h_pad, (p, p)],
                 use_bias=False,
                 kernel_init=conv_init,
                 dtype=self.dtype,
@@ -255,11 +278,11 @@ class STConv3d(nn.Module):
             )(x)
         x = bn_relu(x, train, self.dtype, name="bn1", sp_axis=sp)
         t_pad = (p, p)
-        if sp is not None and (k > 1 or p > 0):
+        if t_ax is not None and (k > 1 or p > 0):
             assert x.shape[1] % t_stride == 0, (
                 f"local T chunk {x.shape[1]} not divisible by temporal "
                 f"stride {t_stride} under sequence parallelism")
-            x = temporal_halo(x, p, p, sp)
+            x = temporal_halo(x, p, p, t_ax)
             t_pad = (0, 0)
         x = nn.Conv(
             self.out_planes,
@@ -278,9 +301,9 @@ class STConv3d(nn.Module):
 class SelfGating(nn.Module):
     """S3D-G feature gating: sigmoid(FC(spatiotemporal mean)) * x
     (s3dg.py:68-78). Under sp the spatiotemporal mean composes exactly from
-    per-shard means of the equal-length time chunks."""
+    per-shard means of the equal-size time/height chunks."""
 
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x):
@@ -304,7 +327,7 @@ class SepInception(nn.Module):
     out_planes: Sequence[int]
     gating: bool = False
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -343,24 +366,34 @@ class S3D(nn.Module):
     # (one-hot s2d conv costs ~3.3ms vs ~0.9ms saved on the C_in=3 convs),
     # kept available for larger-batch / multi-chip configs
     s2d_stem: bool = False
-    # temporal sequence parallelism (ops/seqpar.py): the local T chunk must
-    # be divisible by the total temporal stride (8, or 4 with slow=True)
-    sp_axis: str | None = None
+    # sequence parallelism (ops/seqpar.py): None, a temporal mesh-axis name,
+    # or an SPAxes(t, h). The local T chunk must be divisible by the total
+    # temporal stride (8, or 4 with slow=True); the local H chunk by the
+    # total spatial stride (32) — e.g. img_dim 128/160/192/256 at sph 2
+    # (224 fails: its block-5 pool input H=14 doesn't tile over 2 shards).
+    sp_axis: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from coclr_tpu.ops.seqpar import sp_axes
+
         d = self.dtype
         sp = self.sp_axis
         sp_now = None if self.is_initializing() else sp
+        t_ax, h_ax = sp_axes(sp)
         x = x.astype(d)
         if x.shape[-1] == 4 * self.input_channel:
             assert self.s2d_stem, (
                 "pre-packed (space-to-depth) input requires s2d_stem=True")
-        if sp is not None:
+        if t_ax is not None:
             div = 4 if self.slow else 8
             assert x.shape[1] % div == 0, (
                 f"sequence-parallel S3D needs the local T chunk ({x.shape[1]})"
                 f" divisible by the total temporal stride {div}")
+        if h_ax is not None:
+            assert x.shape[2] % 32 == 0, (
+                f"spatially-sequence-parallel S3D needs the local H chunk "
+                f"({x.shape[2]}) divisible by the total spatial stride 32")
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
@@ -368,8 +401,10 @@ class S3D(nn.Module):
                      s2d_in_channels=self.input_channel, sp_axis=sp,
                      name="Conv_1a")(x, train)
 
-        # block2 (s3dg.py:151-158)
-        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        # block2 (s3dg.py:151-158); the pool is spatial-only, so it needs
+        # sp_axis only for the H halo under spatial sequence parallelism
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
+                        sp_axis=sp_now)
         x = BasicConv3d(64, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="Conv_2b")(x, train)
         x = STConv3d(192, 3, (1, 1), 1, d, sp_axis=sp, name="Conv_2c")(x, train)
 
@@ -384,7 +419,8 @@ class S3D(nn.Module):
             Sep = nn.remat(SepInception, static_argnums=(2,))
 
         # block3 (s3dg.py:162-169)
-        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
+                        sp_axis=sp_now)
         x = Sep([64, 96, 128, 16, 32, 32], self.gating, d, sp_axis=sp, name="Mixed_3b")(x, train)
         x = Sep([128, 128, 192, 32, 96, 64], self.gating, d, sp_axis=sp, name="Mixed_3c")(x, train)
 

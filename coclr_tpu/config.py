@@ -62,6 +62,13 @@ class PretrainConfig:
                                         # mesh axis (ops/seqpar.py); batch is
                                         # then sharded over n_dev/sp_size
                                         # data shards. All backbones.
+    sph_size: int = 1                   # >1: SPATIAL sequence parallelism —
+                                        # clip height sharded over an `sph`
+                                        # axis (innermost); composes with
+                                        # sp_size (batch shards over
+                                        # n_dev/(sp*sph)). img_dim must keep
+                                        # H/sph divisible by the backbone's
+                                        # total spatial stride (32).
     decode_size: Tuple[int, int] = (136, 180)  # canonical host decode H, W
     data_root: str = ""                 # LMDB root (reference lmdb_root)
     worker_mode: str = "thread"         # loader workers: thread | process
@@ -118,6 +125,8 @@ class EvalConfig:
     sp_size: int = 1                    # >1: temporal sequence parallelism
                                         # for the finetune/probe train+eval
                                         # steps (see PretrainConfig.sp_size)
+    sph_size: int = 1                   # >1: spatial sequence parallelism
+                                        # (see PretrainConfig.sph_size)
     decode_size: Tuple[int, int] = (136, 180)
     data_root: str = ""
     worker_mode: str = "thread"         # loader workers: thread | process

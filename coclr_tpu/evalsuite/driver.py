@@ -144,10 +144,13 @@ def run_classifier_train(cfg: EvalConfig, train_dataset=None,
         n_dev = min(n_dev, cfg.num_devices)
     # `or 1` so sp_size 0 means disabled, like the sibling num_devices knob
     sp_size = (cfg.sp_size or 1) if n_dev > 1 else 1
-    mesh = make_mesh(cfg.num_devices, sp_size=sp_size) if n_dev > 1 else None
+    sph_size = (getattr(cfg, "sph_size", 1) or 1) if n_dev > 1 else 1
+    mesh = make_mesh(cfg.num_devices, sp_size=sp_size,
+                     sph_size=sph_size) if n_dev > 1 else None
     # under sequence parallelism the batch shards over the data axis only;
-    # each sp group of sp_size devices splits one batch shard along T
-    n_data = n_dev // sp_size
+    # each sp group of sp_size*sph_size devices splits one batch shard
+    # along T and/or H
+    n_data = n_dev // (sp_size * sph_size)
     global_batch = cfg.batch_size * n_data
 
     from coclr_tpu.parallel.mesh import sp_axis_of

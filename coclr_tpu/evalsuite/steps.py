@@ -160,11 +160,13 @@ def _eval_step(state: ClassifierState, batch, *, model, cfg, axis_name):
 
 
 def make_classifier_steps(model, cfg, mesh=None):
+    from coclr_tpu.ops.seqpar import sp_axes
     from coclr_tpu.parallel.mesh import sp_axis_of
 
     tx = make_classifier_optimizer(cfg)
     axis_name = DATA_AXIS if mesh is not None else None
-    sp = sp_axis_of(mesh)  # temporal sequence parallelism, or None
+    sp = sp_axis_of(mesh)  # None, temporal axis name, or SPAxes
+    t_ax, h_ax = sp_axes(sp)
     model_sp = getattr(model, "sp_axis", None)
     assert model_sp == sp, (
         f"model.sp_axis={model_sp!r} but the mesh's sp axis is {sp!r}: "
@@ -179,8 +181,11 @@ def make_classifier_steps(model, cfg, mesh=None):
 
         def batch_specs(batch):
             # clip leaves are [B, T, S, S, 3]: T is dim 1 here (the driver
-            # squeezes the window dim), unlike pretrain's [B, 2, T, ...]
-            return {k: (P(DATA_AXIS, sp) if batch[k].ndim >= 3
+            # squeezes the window dim), unlike pretrain's [B, 2, T, ...].
+            # Unlike pretrain, eval batches arrive host-augmented and the
+            # in-step preprocess is pixel-local (normalize), so clips can
+            # be H-sharded over `sph` directly (dim 2).
+            return {k: (P(DATA_AXIS, t_ax, h_ax) if batch[k].ndim >= 3
                         else P(DATA_AXIS)) for k in batch}
 
         train_call = lazy_shard_jit(

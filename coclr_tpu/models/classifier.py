@@ -16,10 +16,11 @@ from coclr_tpu.backbones.norm import FoldedBatchNorm
 
 
 class LinearClassifier(nn.Module):
-    """`sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py) —
-    the backbone runs on the local T chunk and the pooled feature pmeans
-    over sp, so the head (l2/final_bn/dropout/fc) sees the identical
-    replicated feature on every sp member (no sync needed there)."""
+    """`sp_axis`: sequence-parallel mesh axes (ops/seqpar.py: None, bare
+    temporal axis name, or SPAxes(t, h)) — the backbone runs on the local
+    T/H chunk and the pooled feature pmeans over the sp axes, so the head
+    (l2/final_bn/dropout/fc) sees the identical replicated feature on
+    every sp member (no sync needed there)."""
 
     num_class: int = 101
     network: str = "s3d"
@@ -28,7 +29,7 @@ class LinearClassifier(nn.Module):
     use_l2_norm: bool = False
     use_final_bn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     def setup(self):
         self.backbone, self.param = select_backbone(

@@ -33,7 +33,8 @@ def torch_default_bias_init(key, shape, dtype=jnp.float32, fan_in=None):
 class ProjectionEncoder(nn.Module):
     """backbone -> global avg pool -> fc1 -> ReLU -> fc2 (dim).
 
-    `sp_axis`: temporal-sequence-parallel mesh axis (ops/seqpar.py). The
+    `sp_axis`: sequence-parallel mesh axes (ops/seqpar.py: None, a bare
+    temporal axis name, or an SPAxes(t, h) adding spatial H sharding). The
     backbone runs on the local T chunk (halo-exchanged convs/pools); the
     global average pool composes exactly as a local mean + pmean over sp,
     so the projection head sees the identical pooled feature on every sp
@@ -43,7 +44,7 @@ class ProjectionEncoder(nn.Module):
     network: str = "s3d"
     dim: int = 128
     dtype: jnp.dtype = jnp.bfloat16
-    sp_axis: str | None = None
+    sp_axis: object = None  # str | SPAxes | None (seqpar.sp_axes spec)
 
     def setup(self):
         self.backbone, self.param = select_backbone(

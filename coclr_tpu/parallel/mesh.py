@@ -21,12 +21,14 @@ except AttributeError:  # pragma: no cover
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"
-# temporal sequence parallelism — the axis name lives with its collectives
-from coclr_tpu.ops.seqpar import SP_AXIS
+# temporal/spatial sequence parallelism — the axis names live with their
+# collectives
+from coclr_tpu.ops.seqpar import SP_AXIS, SPH_AXIS, SPAxes
 
 
 def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
-              dcn_size: int = 1, sp_size: int = 1) -> Mesh:
+              dcn_size: int = 1, sp_size: int = 1,
+              sph_size: int = 1) -> Mesh:
     """Data-parallel mesh over the first `num_devices` local devices.
 
     dcn_size > 1 adds a leading `dcn` axis for multi-slice DP: a 2-D
@@ -39,8 +41,9 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
     sp_size > 1 adds a TRAILING `sp` axis (innermost = ICI-nearest
     neighbors, where the per-temporal-conv halo exchanges live) for
     temporal sequence parallelism: clips are sharded along T, batch along
-    `data`. The reference has no analogue (SURVEY §2.8/§5.7); see
-    coclr_tpu/ops/seqpar.py.
+    `data`. sph_size > 1 adds an `sph` axis AFTER `sp` (innermost of all)
+    sharding the clip height axis the same way (round 4). The reference
+    has no analogue (SURVEY §2.8/§5.7); see coclr_tpu/ops/seqpar.py.
     """
     if devices is None:
         devices = jax.devices()
@@ -49,35 +52,50 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None,
     devices = np.asarray(devices)
     dcn_size = dcn_size or 1
     sp_size = sp_size or 1
-    assert devices.size % (dcn_size * sp_size) == 0, (
-        f"{devices.size} devices not divisible by dcn_size*sp_size="
-        f"{dcn_size}*{sp_size}")
-    if dcn_size > 1 and sp_size > 1:
-        return Mesh(devices.reshape(dcn_size, -1, sp_size),
-                    (DCN_AXIS, DATA_AXIS, SP_AXIS))
+    sph_size = sph_size or 1
+    assert devices.size % (dcn_size * sp_size * sph_size) == 0, (
+        f"{devices.size} devices not divisible by dcn_size*sp_size*sph_size="
+        f"{dcn_size}*{sp_size}*{sph_size}")
+    shape, names = [], []
     if dcn_size > 1:
-        return Mesh(devices.reshape(dcn_size, -1), (DCN_AXIS, DATA_AXIS))
+        shape.append(dcn_size)
+        names.append(DCN_AXIS)
+    shape.append(-1)
+    names.append(DATA_AXIS)
     if sp_size > 1:
-        return Mesh(devices.reshape(-1, sp_size), (DATA_AXIS, SP_AXIS))
-    return Mesh(devices, (DATA_AXIS,))
+        shape.append(sp_size)
+        names.append(SP_AXIS)
+    if sph_size > 1:
+        shape.append(sph_size)
+        names.append(SPH_AXIS)
+    if len(names) == 1:
+        return Mesh(devices, (DATA_AXIS,))
+    return Mesh(devices.reshape(tuple(shape)), tuple(names))
 
 
 def mesh_axes(mesh: Optional[Mesh]):
     """The axis-name argument for BATCH collectives over `mesh` (queue
     all_gather, grad pmean scope in DDP terms): None (no mesh), a single
-    name (1-D), or a tuple (multi-slice). The `sp` axis is excluded — it
-    shards time, not the batch; sp_axis_of() exposes it."""
+    name (1-D), or a tuple (multi-slice). The `sp`/`sph` axes are excluded
+    — they shard time/height, not the batch; sp_axis_of() exposes them."""
     if mesh is None:
         return None
-    names = tuple(n for n in mesh.axis_names if n != SP_AXIS)
+    names = tuple(n for n in mesh.axis_names
+                  if n not in (SP_AXIS, SPH_AXIS))
     return names if len(names) > 1 else names[0]
 
 
 def sp_axis_of(mesh: Optional[Mesh]):
-    """The sequence-parallel axis name if `mesh` has one, else None."""
-    if mesh is not None and SP_AXIS in mesh.axis_names:
-        return SP_AXIS
-    return None
+    """The sequence-parallel axes of `mesh`: None (no sp axes), the bare
+    temporal axis name (temporal-only — the round-3 signature every
+    existing caller/test relies on), or an SPAxes when `sph` is present."""
+    if mesh is None:
+        return None
+    has_t = SP_AXIS in mesh.axis_names
+    has_h = SPH_AXIS in mesh.axis_names
+    if has_h:
+        return SPAxes(t=SP_AXIS if has_t else None, h=SPH_AXIS)
+    return SP_AXIS if has_t else None
 
 
 def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_rep: bool = False):
@@ -119,4 +137,5 @@ def lazy_shard_jit(fn, mesh, make_specs, batch_pos: int, donate_argnums=()):
 
 
 __all__ = ["make_mesh", "mesh_axes", "sp_axis_of", "shard_map_fn",
-           "lazy_shard_jit", "Mesh", "P", "DATA_AXIS", "DCN_AXIS", "SP_AXIS"]
+           "lazy_shard_jit", "Mesh", "P", "DATA_AXIS", "DCN_AXIS", "SP_AXIS",
+           "SPH_AXIS", "SPAxes"]

@@ -55,7 +55,9 @@ def _pretrain_step(state: MoCoState, opt_state, batch, rng, lr,
             rng_pre = jax.random.fold_in(rng_pre, jax.lax.axis_index(axis_name))
         if sp_axis is not None:
             # fused preprocess on a T chunk: pass the global frame context
-            # so per-frame draws match the unsharded stream (augment.py)
+            # so per-frame draws match the unsharded stream (augment.py).
+            # `sp_axis` here is always the TEMPORAL axis name (the fused
+            # path is asserted incompatible with spatial sp below).
             clip_key = "seq" if "seq" in batch else "seq_rgb"
             t_loc = batch[clip_key].shape[2]
             off = jax.lax.axis_index(sp_axis) * t_loc
@@ -192,13 +194,20 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
     default: fusing it into the train step sends the XLA TPU compiler into a
     ~10-minute search (43s + 4s separately); the split costs one extra HBM
     round-trip of the batch (~0.3ms) per step."""
+    from coclr_tpu.ops.seqpar import sp_axes
+
     tx = make_optimizer(cfg)
     axis_name = mesh_axes(mesh)  # 'data', ('dcn','data'), or None
-    sp = sp_axis_of(mesh)        # temporal sequence parallelism, or None
+    sp = sp_axis_of(mesh)        # None, temporal axis name, or SPAxes
+    t_ax, h_ax = sp_axes(sp)
     enc_sp = getattr(encoder, "sp_axis", None)
     assert enc_sp == sp, (
         f"encoder.sp_axis={enc_sp!r} but the mesh's sp axis is {sp!r}: "
         "construct the encoder with sp_axis=sp_axis_of(mesh)")
+    assert not (fuse_preprocess and h_ax is not None and
+                preprocess_fn is not None), (
+        "fused preprocess is incompatible with spatial sequence parallelism"
+        " (the crop/resize aug is not H-local); use the default split mode")
     grad_axes = tuple(mesh.axis_names) if mesh is not None else None
     batch_spec = P(axis_name) if mesh is not None else None
     split = preprocess_fn is not None and not fuse_preprocess
@@ -206,14 +215,25 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
         _pretrain_step, encoder=encoder, cfg=cfg, tx=tx,
         axis_name=axis_name, grad_axes=grad_axes,
         preprocess_fn=None if split else preprocess_fn,
-        sp_axis=None if split else sp)
+        sp_axis=None if split else t_ax)
 
     donate_argnums = (0, 1) if donate else ()
 
     def _sp_leaf_spec(leaf):
-        # clip leaves [b, 2, T, H, W, C] shard along T over `sp`; 1-D
-        # leaves (label/vname) replicate over sp
-        return P(axis_name, None, sp) if leaf.ndim >= 3 else P(axis_name)
+        # clip leaves [b, 2, T, H, W, C] shard along T over `sp` and H over
+        # `sph`; 1-D leaves (label/vname) replicate over the sp axes
+        if leaf.ndim >= 3:
+            return P(axis_name, None, t_ax, h_ax)
+        return P(axis_name)
+
+    def _pre_leaf_spec(leaf):
+        # the aug program sees the FULL H of its T chunk (crop/resize/blur
+        # are not H-local): clip leaves replicate over `sph` on the way in
+        # and out; the step's H-sharded in_specs slice each member's chunk
+        # at the pre->step jit boundary (a local slice, no collective)
+        if leaf.ndim >= 3:
+            return P(axis_name, None, t_ax)
+        return P(axis_name)
 
     if mesh is not None and sp is not None:
         # the spec pytree must mirror the batch dict, which
@@ -240,21 +260,25 @@ def make_pretrain_step(encoder, cfg: PretrainConfig, mesh=None,
             rng = jax.random.fold_in(rng, 1)  # disjoint from step's fold(0)
             # fold over the DATA axes only: sp members of one data shard
             # must reproduce the same per-clip draws for their T chunks
+            # (and sph members for their identical full-H chunk)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            if t_ax is None:
+                return preprocess_fn(batch, rng)
             clip_key = "seq" if "seq" in batch else "seq_rgb"
             t_loc = batch[clip_key].shape[2]
-            off = jax.lax.axis_index(sp) * t_loc
-            return preprocess_fn(batch, rng,
-                                 sp_ctx=(t_loc * jax.lax.axis_size(sp), off))
+            off = jax.lax.axis_index(t_ax) * t_loc
+            return preprocess_fn(
+                batch, rng, sp_ctx=(t_loc * jax.lax.axis_size(t_ax), off))
 
         # the aug chain is frame-local with per-clip parameter draws, so it
         # runs T-SHARDED like the step (per-device aug compute and f32
         # activation memory scale 1/sp; the per-frame gray draw reads the
-        # global frame stream via sp_ctx — exact vs unsharded, tested)
+        # global frame stream via sp_ctx — exact vs unsharded, tested);
+        # under SPATIAL sp it runs on the full H (see _pre_leaf_spec)
         pre_jit = lazy_shard_jit(
             pre, mesh,
-            lambda b: (({k: _sp_leaf_spec(b[k]) for k in b}, P()),
-                       {k: _sp_leaf_spec(b[k]) for k in b
+            lambda b: (({k: _pre_leaf_spec(b[k]) for k in b}, P()),
+                       {k: _pre_leaf_spec(b[k]) for k in b
                         if k != "aug_base"}),
             batch_pos=0)
     else:

@@ -120,19 +120,26 @@ def make_upload(mesh, sp_t_dim: int = 2):
         # single device: batches are pytrees (dict of arrays), map per leaf
         return (lambda tree: jax.tree.map(jnp.asarray, tree)), \
                (lambda tree: tree)
+    from coclr_tpu.ops.seqpar import sp_axes as _sp_axes
     from coclr_tpu.parallel.mesh import sp_axis_of
 
     axes = mesh_axes(mesh)
-    sp = sp_axis_of(mesh)
+    sp_t = _sp_axes(sp_axis_of(mesh)).t
     data_sh = NamedSharding(mesh, P(axes))
     repl_sh = NamedSharding(mesh, P())
     nproc = jax.process_count()
 
-    if sp is not None:
+    # clips upload T-sharded over the temporal sp axis; H stays REPLICATED
+    # even under spatial sp (`sph`) because the on-device aug chain
+    # (crop/resize/blur) is not H-local — the step's H-sharded in_specs
+    # then slice each member's chunk at the pre->step jit boundary for
+    # free (replicated -> sharded is a local slice, no collective).
+    if sp_t is not None:
         clip_sh = NamedSharding(
-            mesh, P(axes, *((None,) * (sp_t_dim - 1)), sp))
+            mesh, P(axes, *((None,) * (sp_t_dim - 1)), sp_t))
     else:
         clip_sh = data_sh
+    sp = sp_t if sp_t is not None else sp_axis_of(mesh)
 
     if nproc > 1:
         def _assemble(a, sh):
@@ -248,27 +255,31 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         # process-major order: each host's chips form one contiguous block
         # of the data axis, matching its Loader(process_shard) block
         mesh_devices = multihost.global_devices_process_major()
-        assert jax.local_device_count() % (cfg.sp_size or 1) == 0, (
-            f"sp_size {cfg.sp_size} must divide the {jax.local_device_count()}"
-            " local devices: an sp group cannot span hosts (halo exchanges "
-            "would ride DCN every temporal conv)")
+        _spg = (cfg.sp_size or 1) * (getattr(cfg, "sph_size", 1) or 1)
+        assert jax.local_device_count() % _spg == 0, (
+            f"sp_size*sph_size {_spg} must divide the "
+            f"{jax.local_device_count()} local devices: an sp group cannot "
+            "span hosts (halo exchanges would ride DCN every conv)")
     is_coclr = cfg.model == "coclr"
     n_dev = _device_count(cfg)
     # `or 1` so sp_size 0 means disabled, like the sibling num_devices knob
     sp_size = (cfg.sp_size or 1) if n_dev > 1 else 1
+    sph_size = (getattr(cfg, "sph_size", 1) or 1) if n_dev > 1 else 1
     mesh = make_mesh(cfg.num_devices, devices=mesh_devices,
-                     dcn_size=cfg.dcn_size,
-                     sp_size=sp_size) if n_dev > 1 else None
+                     dcn_size=cfg.dcn_size, sp_size=sp_size,
+                     sph_size=sph_size) if n_dev > 1 else None
     # under sequence parallelism the batch is sharded over the data shards
-    # only; each sp group of sp_size devices holds one batch shard's clips
-    # split along T (coclr_tpu/ops/seqpar.py)
-    global_batch = cfg.batch_size * (n_dev // sp_size)
+    # only; each sp group of sp_size*sph_size devices holds one batch
+    # shard's clips split along T and/or H (coclr_tpu/ops/seqpar.py)
+    global_batch = cfg.batch_size * (n_dev // (sp_size * sph_size))
     assert cfg.moco_k % global_batch == 0, \
         f"moco_k={cfg.moco_k} must be divisible by global batch {global_batch}"
 
     print(f"=> creating {cfg.model} model with '{cfg.net}' backbone "
           f"on {n_dev} device(s)"
-          + (f" (sequence-parallel x{sp_size})" if sp_size > 1 else ""))
+          + (f" (sequence-parallel x{sp_size})" if sp_size > 1 else "")
+          + (f" (spatial-sequence-parallel x{sph_size})"
+             if sph_size > 1 else ""))
     from coclr_tpu.parallel.mesh import sp_axis_of
     encoder = ProjectionEncoder(network=cfg.net, dim=cfg.moco_dim,
                                 dtype=cfg.dtype, sp_axis=sp_axis_of(mesh))

@@ -52,6 +52,10 @@ def parse_args():
                              'val steps: clips sharded along T over an sp '
                              'mesh axis (test paths are forward-only and '
                              'run unsharded)')
+    parser.add_argument('--sph_size', default=1, type=int,
+                        help='spatial sequence parallelism for the train/'
+                             'val steps: clip height sharded over an sph '
+                             'mesh axis; composes with --sp_size')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'])
@@ -76,6 +80,7 @@ def cfg_from_args(args) -> EvalConfig:
         center_crop=args.center_crop, five_crop=args.five_crop,
         prefix=args.prefix, compute_dtype=args.compute_dtype,
         num_devices=args.num_devices, sp_size=args.sp_size,
+        sph_size=args.sph_size,
         data_root=args.data_root,
         worker_mode=args.worker_mode, ckpt_format=args.ckpt_format)
 

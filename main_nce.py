@@ -61,6 +61,8 @@ def parse_args():
     parser.add_argument('--sp_size', default=1, type=int,
                         help='temporal sequence parallelism: clips sharded '
                              'along T over an sp mesh axis (all backbones)')
+    parser.add_argument('--sph_size', default=1, type=int,
+                        help='spatial sequence parallelism: clip height sharded over an sph mesh axis; composes with --sp_size')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'],
@@ -105,6 +107,7 @@ def cfg_from_args(args):
         num_devices=args.num_devices,
         dcn_size=args.dcn_size,
         sp_size=args.sp_size,
+        sph_size=args.sph_size,
         data_root=args.data_root, cos=args.cos,
         worker_mode=args.worker_mode, profile_steps=args.profile_steps,
         ckpt_format=args.ckpt_format,

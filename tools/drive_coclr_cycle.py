@@ -38,12 +38,15 @@ sys.path.insert(0, REPO)
 
 # progress-meter lines: "Epoch:[3][0/17]  Time ...  Loss 4.1 (4.3)  acc@1
 # 0.50 (0.48) ..." — parenthesized values are the epoch running averages
-EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Loss [\d.]+ "
+# \s* : progress lines right-align the step ("[  0/287]") — without it the
+# early-epoch lines are silently dropped (broke accept_partial_nce, round 4)
+EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\s*\d+/\d+\].*?Loss [\d.]+ "
                       r"\(([\d.]+)\).*?acc@1 [\d.]+ \(([\d.]+)\)")
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
-def run_cli(tag, args_list, cwd, log_dir, done_marker=None, validate=None):
+def run_cli(tag, args_list, cwd, log_dir, done_marker=None, validate=None,
+            partial_ok=None):
     os.makedirs(log_dir, exist_ok=True)
     log_file = os.path.join(log_dir, f"{tag}.log")
     # resume: a phase whose saved log already shows completion is not rerun
@@ -52,10 +55,18 @@ def run_cli(tag, args_list, cwd, log_dir, done_marker=None, validate=None):
     # record of what actually ran). `validate` guards against degenerate
     # completions: a 0-video run still prints "finished" with zero progress
     # lines (see CLAUDE.md on the split-metadata symlink), and must rerun.
+    # `partial_ok(prev)`: accept an UNfinished log too (wall-clock-bounded
+    # drives: an init cut after N full epochs is still a valid init — the
+    # log/artifact report the epochs that actually ran, nothing is forged).
     if done_marker and os.path.exists(log_file):
         prev = open(log_file).read()
         if done_marker in prev and (validate is None or validate(prev)):
             print(f"[drive] {tag}: already complete, skipping", flush=True)
+            return prev, None
+        if partial_ok is not None and partial_ok(prev):
+            print(f"[drive] {tag}: accepting partial run (wall-clock cut); "
+                  "the artifact reports the epochs that actually ran",
+                  flush=True)
             return prev, None
     print(f"[drive] {tag}: {' '.join(args_list)}", flush=True)
     t0 = time.time()
@@ -117,6 +128,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/coclr_cycle")
     ap.add_argument("--epochs_nce", default=18, type=int)
+    ap.add_argument("--epochs_nce_flow", default=0, type=int,
+                    help="flow-init epochs (0 = same as --epochs_nce); at "
+                         "full cardinality one epoch is ~9.5k samples, so "
+                         "the flow sampler can train shorter than rounds "
+                         "1-3's tiny-scale epoch counts suggest")
     ap.add_argument("--epochs_coclr", default=12, type=int)
     ap.add_argument("--seq_len", default=32, type=int)
     ap.add_argument("--img_dim", default=128, type=int)
@@ -155,6 +171,19 @@ def main():
     ap.add_argument("--skip_downstream", action="store_true",
                     help="stop after the post-cycle retrievals (rounds 1-2 "
                          "behavior; downstream probes/TTA/fusion were manual)")
+    ap.add_argument("--accept_partial_nce", action="store_true",
+                    help="on restart, accept an UNfinished NCE init whose "
+                         "log shows >=1 full epoch and a saved checkpoint "
+                         "instead of rerunning it (wall-clock-bounded "
+                         "drives; the artifact reports actual epochs)")
+    ap.add_argument("--priority", default="", choices=["", "rgb"],
+                    help="'rgb': wall-clock-bounded phase order — complete "
+                         "the RGB evidence chain (flowmining -> rgb init + "
+                         "post-mining retrievals) BEFORE the flow-side "
+                         "phases, so a run cut by the clock still leaves a "
+                         "self-consistent mining-effect artifact for one "
+                         "modality (cycles=1 only; full-cardinality "
+                         "retrievals are ~30 min each on the axon tunnel)")
     ap.add_argument("--num_devices", default=0, type=int,
                     help="pass through to the CLIs (mini CPU runs: keep low "
                          "— 8 virtual devices starve collective rendezvous "
@@ -208,17 +237,40 @@ def main():
               "--num_devices", str(args.num_devices)]
     log_dir = os.path.join(wd, "drivelogs")
     report = {"config": vars(args), "phases": {}}
+    out_path = os.path.join(REPO, args.out_prefix + ".json")
 
-    def phase(tag, cli, extra):
+    def dump_report():
+        # incremental: a drive cut by the session clock still leaves the
+        # finished phases' results on disk for the summarizer/committer
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+
+    def phase(tag, cli, extra, prefix=None):
+        # accept_partial_nce: a cut init with >=1 FULL epoch in the log and
+        # a saved checkpoint counts (a later epoch's progress line proves
+        # the earlier epoch completed; ckpts are written on save_freq
+        # boundaries, so latest_ckpt picks the matching weights)
+        partial = None
+        if args.accept_partial_nce and prefix is not None:
+            def partial(prev, _p=prefix):
+                # an epoch-boundary checkpoint is the ground truth that >=1
+                # full epoch ran (ckpts are written only on save_freq epoch
+                # boundaries); the log may hold fewer lines than that if a
+                # restart truncated it — the artifact reports both the
+                # accepted ckpt and whatever the log still shows
+                return bool(glob.glob(os.path.join(
+                    wd, f"log-{_p}*", "*", "model", "epoch*.ckpt")))
         text, wall = run_cli(tag, [os.path.join(REPO, cli)] + extra + common,
                              wd, log_dir, done_marker="finished",
-                             validate=lambda t: bool(parse_epochs(t)))
+                             validate=lambda t: bool(parse_epochs(t)),
+                             partial_ok=partial)
         ph = {"epochs": parse_epochs(text)}
         if wall is None:
             ph["resumed"] = True
         else:
             ph["wall_min"] = round(wall / 60, 1)
         report["phases"][tag] = ph
+        dump_report()
         return text
 
     def retrieval(tag, ckpt, dataset):
@@ -239,17 +291,63 @@ def main():
         else:
             ph["wall_min"] = round(wall / 60, 1)
         report["phases"][tag] = ph
+        dump_report()
 
     t_start = time.time()
     # 1+2: InfoNCE inits (README.md:28-40)
     phase("nce_rgb", "main_nce.py",
           ["--model", "infonce", "--dataset", "ucf101-2clip",
-           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_rgb"])
+           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_rgb"],
+          prefix="cyc_nce_rgb")
     rgb_init = latest_ckpt(wd, "cyc_nce_rgb")
     phase("nce_flow", "main_nce.py",
           ["--model", "infonce", "--dataset", "ucf101-f-2clip",
-           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_flow"])
+           "--epochs", str(args.epochs_nce_flow or args.epochs_nce),
+           "--prefix", "cyc_nce_flow"],
+          prefix="cyc_nce_flow")
     flow_init = latest_ckpt(wd, "cyc_nce_flow")
+
+    if args.priority == "rgb":
+        # Wall-clock-bounded order (round 4): the full-cardinality
+        # retrievals cost ~30 min each (13.3k videos x 2 windows through
+        # the axon tunnel), so run the phases whose results compose into
+        # the RGB mining-effect claim FIRST — flowmining, then rgb init +
+        # post-mining retrievals — and the flow-side phases after. Any
+        # clock cut leaves a self-consistent artifact (incremental
+        # dump_report + the log-driven summarizer).
+        assert args.cycles == 1, "--priority rgb supports cycles=1"
+        phase("coclr_flowmining", "main_coclr.py",
+              ["--topk", "5", "--dataset", "ucf101-2stream-2clip",
+               "--epochs", str(args.epochs_coclr),
+               "--name_prefix", "Cycle1-FlowMining_",
+               "--prefix", "cyc_cf",
+               "--pretrain", rgb_init, flow_init])
+        rgb_latest = latest_ckpt(wd, "cyc_cf")
+        retrieval("retrieval_rgb_init", rgb_init, "ucf101")
+        retrieval("retrieval_rgb_coclr", rgb_latest, "ucf101")
+        phase("coclr_rgbmining", "main_coclr.py",
+              ["--topk", "5", "--reverse",
+               "--dataset", "ucf101-2stream-2clip",
+               "--epochs", str(args.epochs_coclr),
+               "--name_prefix", "Cycle1-RGBMining_",
+               "--prefix", "cyc_cr",
+               "--pretrain", flow_init, rgb_latest])
+        flow_latest = latest_ckpt(wd, "cyc_cr")
+        retrieval("retrieval_flow_init", flow_init, "ucf101-f")
+        retrieval("retrieval_flow_coclr", flow_latest, "ucf101-f")
+        rgb_c1, flow_c1 = rgb_latest, flow_latest
+        report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
+        report["chance_R@1"] = round(1.0 / args.n_classes, 4)
+        dump_report()
+        print(f"[drive] report -> {out_path}", flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools",
+                                     "summarize_coclr_drive.py"),
+                        "--workdir", wd, "--out_prefix", args.out_prefix,
+                        "--chance", str(round(1.0 / args.n_classes, 4))],
+                       check=True)
+        print(json.dumps(report, indent=1), flush=True)
+        return
 
     retrieval("retrieval_rgb_init", rgb_init, "ucf101")
     retrieval("retrieval_flow_init", flow_init, "ucf101-f")

@@ -1,4 +1,4 @@
-"""Per-device memory scaling evidence for temporal sequence parallelism.
+"""Per-device memory scaling evidence for temporal/spatial sequence parallelism.
 
 Compiles the PRODUCTION pretrain step (make_pretrain_step, donated state)
 for the same global workload on a (data=N) mesh vs a (data=N, sp=S) mesh
@@ -11,7 +11,9 @@ differs.
 
 Usage:
   python tools/sp_memory_report.py [--net s3d] [--seq_len 32]
-      [--img_dim 64] [--batch_size 2] [--sp 2]
+      [--img_dim 64] [--batch_size 2] [--sp 2] [--sph 2]
+(--sph > 1 adds (data, sph) and (data, sp, sph) rows — spatial sequence
+parallelism sharding the clip height axis, round 4.)
 """
 
 from __future__ import annotations
@@ -27,12 +29,14 @@ def main():
     ap.add_argument("--img_dim", type=int, default=64)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--sp", type=int, default=2)
+    ap.add_argument("--sph", type=int, default=0,
+                    help=">1: add spatial-sp rows (H sharded over sph)")
     ap.add_argument("--data", type=int, default=2)
     args = ap.parse_args()
 
     os.environ.setdefault(
         "XLA_FLAGS", "--xla_force_host_platform_device_count=%d"
-        % (args.data * args.sp))
+        % (args.data * args.sp * max(1, args.sph)))
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -50,13 +54,17 @@ def main():
     gb = args.data * args.batch_size  # same global batch in both runs
 
     rows = []
-    for sp_size in (1, args.sp):
-        n_dev = args.data * sp_size
+    combos = [(1, 1), (args.sp, 1)]
+    if args.sph and args.sph > 1:
+        combos += [(1, args.sph), (args.sp, args.sph)]
+    for sp_size, sph_size in combos:
+        n_dev = args.data * sp_size * sph_size
         cfg = PretrainConfig(net=args.net, model="infonce", seq_len=T,
                              img_dim=S, batch_size=args.batch_size,
                              moco_k=gb * 8, moco_dim=128,
-                             compute_dtype="bfloat16", sp_size=sp_size)
-        mesh = make_mesh(n_dev, sp_size=sp_size)
+                             compute_dtype="bfloat16", sp_size=sp_size,
+                             sph_size=sph_size)
+        mesh = make_mesh(n_dev, sp_size=sp_size, sph_size=sph_size)
         enc = ProjectionEncoder(network=cfg.net, dim=cfg.moco_dim,
                                 dtype=cfg.dtype, sp_axis=sp_axis_of(mesh))
         sample = jnp.zeros((1, T, S, S, 3), jnp.float32)
@@ -71,23 +79,27 @@ def main():
         lowered = step.lower(state, opt, batch, jax.random.PRNGKey(1),
                              jnp.float32(1e-3))
         stats = lowered.compile().memory_analysis()
-        rows.append((sp_size, n_dev, stats))
+        rows.append((sp_size, sph_size, n_dev, stats))
 
     print(f"\nworkload: {args.net} InfoNCE step, global batch {gb} x 2 "
           f"clips, T={T}, {S}x{S}, bf16 compute; data={args.data}")
     print("| mesh | per-device temp (activations) | arguments | output |")
     print("|---|---|---|---|")
     base_temp = None
-    for sp_size, n_dev, st in rows:
-        name = (f"(data={args.data})" if sp_size == 1
-                else f"(data={args.data}, sp={sp_size})")
+    for sp_size, sph_size, n_dev, st in rows:
+        name = f"(data={args.data}"
+        if sp_size > 1:
+            name += f", sp={sp_size}"
+        if sph_size > 1:
+            name += f", sph={sph_size}"
+        name += ")"
         t, a, o = (st.temp_size_in_bytes, st.argument_size_in_bytes,
                    st.output_size_in_bytes)
         if base_temp is None:
             base_temp = t
             rel = ""
         else:
-            rel = f" ({t / base_temp:.2f}x of sp=1)"
+            rel = f" ({t / base_temp:.2f}x of unsharded)"
         print(f"| {name} | {t / 2**20:.1f} MiB{rel} | {a / 2**20:.1f} MiB "
               f"| {o / 2**20:.1f} MiB |")
 
