@@ -127,6 +127,10 @@ class EvalConfig:
                                         # steps (see PretrainConfig.sp_size)
     sph_size: int = 1                   # >1: spatial sequence parallelism
                                         # (see PretrainConfig.sph_size)
+    max_windows: int = 0                # >0: eval datasets decode only the
+                                        # CENTER max_windows hop windows per
+                                        # video (datasets.py rationale); 0 =
+                                        # reference protocol (all windows)
     decode_size: Tuple[int, int] = (136, 180)
     data_root: str = ""
     worker_mode: str = "thread"         # loader workers: thread | process

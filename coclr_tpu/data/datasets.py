@@ -152,7 +152,7 @@ class SingleStreamDataset(BaseVideoDataset):
                  return_label: bool = False, return_source: bool = False,
                  two_clip: bool = True, is_flow: bool = False,
                  style: str = "ucf101", img_dim: int = 128,
-                 policy=None, seed: int = 0):
+                 policy=None, seed: int = 0, max_windows: int = 0):
         root = root or _default_root(style)
         super().__init__(root, mode, num_frames, ds, which_split,
                          return_label, return_source,
@@ -160,6 +160,14 @@ class SingleStreamDataset(BaseVideoDataset):
         self.window = window
         self.two_clip = two_clip
         self.is_flow = is_flow
+        # max_windows > 0: decode only the CENTER max_windows eval windows
+        # per video instead of all of them. DELIBERATE protocol knob, off by
+        # default: the reference means features over every hop window
+        # (eval/main_classifier.py:633-638); on a host-decode-bound box the
+        # center window(s) halve feature-extraction cost at full
+        # cardinality, and both sides of an init-vs-mined comparison use
+        # the same setting so the comparison is unaffected.
+        self.max_windows = max_windows
         self.img_dim = img_dim
         self.env = _LMDBEnv(db_path, need_vlen=is_flow)
         if two_clip:
@@ -222,6 +230,9 @@ class SingleStreamDataset(BaseVideoDataset):
             out["aug_base"] = np.asarray(aug_base, np.uint8)
         else:
             windows_idx = self._sample_indices(rng, vlen)  # [n, T]
+            if 0 < self.max_windows < len(windows_idx):
+                lo = (len(windows_idx) - self.max_windows) // 2
+                windows_idx = windows_idx[lo:lo + self.max_windows]
             clips = []
             for idxs in windows_idx:
                 rect = self.policy.sample_rect(rng, w_img, h_img)

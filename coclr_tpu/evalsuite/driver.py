@@ -74,7 +74,8 @@ def build_eval_dataset(cfg: EvalConfig, mode: str, root: Optional[str] = None,
     kw = dict(mode=mode, num_frames=cfg.seq_len, ds=cfg.ds,
               which_split=cfg.which_split, return_label=True,
               img_dim=cfg.img_dim, seed=cfg.seed, window=window,
-              policy=policy)
+              policy=policy,
+              max_windows=getattr(cfg, "max_windows", 0))
     if root:
         kw["root"] = root
     name = cfg.dataset

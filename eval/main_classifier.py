@@ -56,6 +56,11 @@ def parse_args():
                         help='spatial sequence parallelism for the train/'
                              'val steps: clip height sharded over an sph '
                              'mesh axis; composes with --sp_size')
+    parser.add_argument('--max_windows', default=0, type=int,
+                        help='>0: eval datasets decode only the CENTER '
+                             'max_windows hop windows per video (halves '
+                             'host-decode-bound retrieval/TTA cost; 0 = '
+                             'reference protocol, mean over all windows)')
     parser.add_argument('--data_root', default='', type=str)
     parser.add_argument('--worker_mode', default='thread', type=str,
                         choices=['thread', 'process'])
@@ -80,7 +85,7 @@ def cfg_from_args(args) -> EvalConfig:
         center_crop=args.center_crop, five_crop=args.five_crop,
         prefix=args.prefix, compute_dtype=args.compute_dtype,
         num_devices=args.num_devices, sp_size=args.sp_size,
-        sph_size=args.sph_size,
+        sph_size=args.sph_size, max_windows=args.max_windows,
         data_root=args.data_root,
         worker_mode=args.worker_mode, ckpt_format=args.ckpt_format)
 

@@ -171,6 +171,12 @@ def main():
     ap.add_argument("--skip_downstream", action="store_true",
                     help="stop after the post-cycle retrievals (rounds 1-2 "
                          "behavior; downstream probes/TTA/fusion were manual)")
+    ap.add_argument("--retrieval_max_windows", default=0, type=int,
+                    help=">0: retrieval features use only the CENTER N hop "
+                         "windows per video (eval --max_windows); halves "
+                         "the host-decode-bound extraction at full "
+                         "cardinality. Same setting on both sides of every "
+                         "init-vs-mined comparison")
     ap.add_argument("--accept_partial_nce", action="store_true",
                     help="on restart, accept an UNfinished NCE init whose "
                          "log shows >=1 full epoch and a saved checkpoint "
@@ -277,6 +283,7 @@ def main():
         text, wall = run_cli(
             tag, [os.path.join(REPO, "eval", "main_classifier.py"),
                   "--net", "s3d", "--dataset", dataset,
+                  "--max_windows", str(args.retrieval_max_windows),
                   "--seq_len", str(args.seq_len), "--ds", "1",
                   "--img_dim", str(args.img_dim),
                   "--batch_size", str(args.batch_size),

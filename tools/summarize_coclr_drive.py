@@ -51,7 +51,7 @@ def main():
                     report["phases"].setdefault(tag, {})[k] = ph[k]
 
     import re
-    self_re = re.compile(r"Epoch:\[(\d+)\]\[\d+/\d+\].*?Self-acc@1 [\d.]+ "
+    self_re = re.compile(r"Epoch:\[(\d+)\]\[\s*\d+/\d+\].*?Self-acc@1 [\d.]+ "
                          r"\(([\d.]+)\)")
     for tag in TRAIN_PHASES:
         path = os.path.join(logs, f"{tag}.log")
@@ -126,6 +126,16 @@ def main():
         ph = report["phases"].get(tag, {})
         eps = ph.get("epochs") or []
         if not eps:
+            if ph.get("resumed"):
+                # wall-clock-bounded drives: a cut init is accepted from its
+                # epoch-boundary checkpoint; a later relaunch may have
+                # truncated the captured stdout, so the per-step curve lives
+                # in the phase's exp-dir tfevents instead of this log
+                lines.append(
+                    f"- **{tag}**: resumed from an epoch-boundary "
+                    "checkpoint (accept_partial_nce); progress log "
+                    "truncated by the relaunch — per-step scalars in the "
+                    "phase's tensorboard events")
             continue
         first, last = eps[0], eps[-1]
         wall = ph.get("wall_min")
