@@ -233,6 +233,24 @@ def main():
             f"- Mining improved retrieval for {improved[0]}; the other "
             f"modality did not improve in this drive (see table).",
         ]
+    # the headline claim, σ-quantified: post-mining R@1 vs its InfoNCE
+    # init (two-proportion SE at the observed rates) per modality
+    if n_q:
+        init_parts = []
+        for mod in ("rgb", "flow"):
+            a = report["phases"].get(f"retrieval_{mod}_init", {}).get("R@1")
+            b = report["phases"].get(f"retrieval_{mod}_coclr", {}).get("R@1")
+            if a is None or b is None:
+                continue
+            se = (a * (1 - a) / n_q + b * (1 - b) / n_q) ** 0.5
+            z = (b - a) / se if se else 0.0
+            init_parts.append(f"{mod} {a:.4f}->{b:.4f} ({z:+.1f} sigma)")
+        if init_parts:
+            lines += [
+                f"- Post-mining vs InfoNCE-init R@1 "
+                f"({n_q}-query two-proportion z): "
+                f"{', '.join(init_parts)}.",
+            ]
     for prev_suf, suf in zip(CYCLE_SUFFIXES, CYCLE_SUFFIXES[1:]):
         c2_parts = []
         cyc_n = int(suf.replace("cycle", ""))
