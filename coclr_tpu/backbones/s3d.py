@@ -369,8 +369,9 @@ class S3D(nn.Module):
     # sequence parallelism (ops/seqpar.py): None, a temporal mesh-axis name,
     # or an SPAxes(t, h). The local T chunk must be divisible by the total
     # temporal stride (8, or 4 with slow=True); the local H chunk by the
-    # total spatial stride (32) — e.g. img_dim 128/160/192/256 at sph 2
-    # (224 fails: its block-5 pool input H=14 doesn't tile over 2 shards).
+    # total spatial stride (32) — e.g. img_dim 128/192/256 at sph 2
+    # (160 fails: local H=80 is not a multiple of 32; 224 fails too:
+    # its block-5 pool input H=14 doesn't tile over 2 shards).
     sp_axis: object = None
 
     @nn.compact

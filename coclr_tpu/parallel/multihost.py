@@ -60,7 +60,9 @@ def initialize_from_args(args) -> None:
     after parse_args, before importing coclr_tpu.train.* — the import-
     order crash this prevents was ADVICE-r3's high finding. `args` only
     needs .multihost/.coordinator/.num_processes/.process_id attributes
-    (both pretrain CLIs and the eval classifier satisfy this)."""
+    (the two pretrain CLIs define them; the eval classifier is single-
+    process by design, mirroring the reference's nn.DataParallel eval —
+    SURVEY §2.8 — and neither defines the flags nor calls this hook)."""
     maybe_initialize(args)
 
 

@@ -140,3 +140,45 @@ def test_summarize_drives_cross_seed(tmp_path):
     assert abs(r0_flow["best_post_mining"] - 0.44) < 1e-9
     # sigma at chance 0.25 with 72 queries = sqrt(.25*.75/72) ~ 0.051
     assert abs(r0_flow["vs_chance_sigma"] - (0.44 - 0.25) / 0.05103) < 0.02
+
+
+def test_seed_report_preserves_prior_artifact(tmp_path):
+    """A relaunch must inherit the existing artifact's phases (wall_min,
+    self_acc1_final) and accumulate total_wall_min instead of starting
+    from an empty report — a round-4 relaunch wiped the committed primary
+    artifact's wall-clock fields (review finding)."""
+    import json
+
+    drive = _load("drive_coclr_cycle")
+    out = tmp_path / "ART.json"
+    out.write_text(json.dumps({
+        "config": {"cycles": 1},
+        "phases": {"coclr_flowmining": {"wall_min": 52.0,
+                                        "self_acc1_final": 0.0367,
+                                        "epochs": []}},
+        "total_wall_min": 223.8}))
+    report, prior = drive.seed_report(str(out), {"cycles": 2})
+    assert report["phases"]["coclr_flowmining"]["wall_min"] == 52.0
+    assert report["config"] == {"cycles": 2}  # config is the CURRENT launch
+    assert prior == 223.8
+
+    # no prior artifact -> fresh report, zero prior wall
+    report, prior = drive.seed_report(str(tmp_path / "none.json"), {})
+    assert report["phases"] == {} and prior == 0.0
+
+    # corrupt artifact (half-written by a cut launch) -> fresh, not a crash
+    out.write_text("{not json")
+    report, prior = drive.seed_report(str(out), {})
+    assert report["phases"] == {} and prior == 0.0
+
+
+def test_partial_nce_requires_log_progress():
+    """--accept_partial_nce's guard: a checkpoint alone must not qualify a
+    log with zero progress lines (stale ckpt + degenerate 0-video relaunch
+    must rerun, same as the validate guard for completed runs)."""
+    drive = _load("drive_coclr_cycle")
+    # the guard composes parse_epochs(prev) with the ckpt glob; pin the
+    # log half here (the glob half is plain os.path plumbing)
+    assert drive.parse_epochs(LOG)  # real progress lines qualify
+    degenerate = "Epoch: [0][0] T-epoch:0.00\nTraining finished\n"
+    assert not drive.parse_epochs(degenerate)

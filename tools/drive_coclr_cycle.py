@@ -42,6 +42,11 @@ sys.path.insert(0, REPO)
 # early-epoch lines are silently dropped (broke accept_partial_nce, round 4)
 EPOCH_RE = re.compile(r"Epoch:\[(\d+)\]\[\s*\d+/\d+\].*?Loss [\d.]+ "
                       r"\(([\d.]+)\).*?acc@1 [\d.]+ \(([\d.]+)\)")
+# CoCLR phases additionally log the running self-positive accuracy; shared
+# with tools/summarize_coclr_drive.py so the two parsers cannot drift (the
+# right-alignment fix above had to be applied twice in round 4)
+SELF_RE = re.compile(r"Epoch:\[(\d+)\]\[\s*\d+/\d+\].*?Self-acc@1 [\d.]+ "
+                     r"\(([\d.]+)\)")
 NN_RE = re.compile(r"(\d+)NN acc = ([\d.]+)")
 
 
@@ -108,6 +113,28 @@ def parse_epochs(text):
 
 def parse_retrieval(text):
     return {f"R@{k}": float(v) for k, v in NN_RE.findall(text)}
+
+
+def seed_report(out_path, args_dict):
+    """Start the incremental report from the existing artifact, if any.
+
+    A relaunch into the same workdir (e.g. extending --cycles) must not
+    wipe fields that resumed phases cannot reconstruct from logs —
+    wall_min and the accumulated total_wall_min (a round-4 relaunch did
+    exactly that to the committed primary artifact). Config reflects the
+    CURRENT launch; returns (report, prior_total_wall_min).
+    """
+    report = {"config": args_dict, "phases": {}}
+    prior_wall_min = 0.0
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+            report["phases"] = old.get("phases", {})
+            prior_wall_min = float(old.get("total_wall_min") or 0.0)
+        except (ValueError, OSError):
+            pass
+    return report, prior_wall_min
 
 
 def latest_ckpt(workdir, prefix):
@@ -242,8 +269,8 @@ def main():
               "--seed", str(args.seed),
               "--num_devices", str(args.num_devices)]
     log_dir = os.path.join(wd, "drivelogs")
-    report = {"config": vars(args), "phases": {}}
     out_path = os.path.join(REPO, args.out_prefix + ".json")
+    report, prior_wall_min = seed_report(out_path, vars(args))
 
     def dump_report():
         # incremental: a drive cut by the session clock still leaves the
@@ -261,16 +288,22 @@ def main():
             def partial(prev, _p=prefix):
                 # an epoch-boundary checkpoint is the ground truth that >=1
                 # full epoch ran (ckpts are written only on save_freq epoch
-                # boundaries); the log may hold fewer lines than that if a
-                # restart truncated it — the artifact reports both the
-                # accepted ckpt and whatever the log still shows
-                return bool(glob.glob(os.path.join(
-                    wd, f"log-{_p}*", "*", "model", "epoch*.ckpt")))
+                # boundaries) — but a stale ckpt from an aborted earlier
+                # launch can outlive a degenerate log (0-video join, wrong
+                # split metadata), so the CURRENT log must also show real
+                # progress lines: the same guard `validate` applies to
+                # completed runs is required here, not bypassed
+                return bool(parse_epochs(prev)) and bool(glob.glob(
+                    os.path.join(wd, f"log-{_p}*", "*", "model",
+                                 "epoch*.ckpt")))
         text, wall = run_cli(tag, [os.path.join(REPO, cli)] + extra + common,
                              wd, log_dir, done_marker="finished",
                              validate=lambda t: bool(parse_epochs(t)),
                              partial_ok=partial)
-        ph = {"epochs": parse_epochs(text)}
+        # resumed phases merge into the prior artifact entry (preserving
+        # the original launch's wall_min); re-run phases replace it
+        ph = dict(report["phases"].get(tag, {})) if wall is None else {}
+        ph["epochs"] = parse_epochs(text)
         if wall is None:
             ph["resumed"] = True
         else:
@@ -292,7 +325,8 @@ def main():
                   "--test", ckpt, "--retrieval",
                   "--dirname", os.path.join(wd, "feat_" + tag)],
             wd, log_dir, done_marker="NN acc")
-        ph = dict(parse_retrieval(text))
+        ph = dict(report["phases"].get(tag, {})) if wall is None else {}
+        ph.update(parse_retrieval(text))
         if wall is None:
             ph["resumed"] = True
         else:
@@ -342,8 +376,10 @@ def main():
         flow_latest = latest_ckpt(wd, "cyc_cr")
         retrieval("retrieval_flow_init", flow_init, "ucf101-f")
         retrieval("retrieval_flow_coclr", flow_latest, "ucf101-f")
-        rgb_c1, flow_c1 = rgb_latest, flow_latest
-        report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
+        # this branch returns before the downstream-probe section (the
+        # priority order exists to bound wall-clock, downstream is skipped)
+        report["total_wall_min"] = round(
+            prior_wall_min + (time.time() - t_start) / 60, 1)
         report["chance_R@1"] = round(1.0 / args.n_classes, 4)
         dump_report()
         print(f"[drive] report -> {out_path}", flush=True)
@@ -453,7 +489,8 @@ def main():
                  "--dirname", feat_dir, "--lr", "0.1", "--epochs", "60"],
                 wd, log_dir, done_marker="Final best acc")
 
-    report["total_wall_min"] = round((time.time() - t_start) / 60, 1)
+    report["total_wall_min"] = round(
+        prior_wall_min + (time.time() - t_start) / 60, 1)
     report["chance_R@1"] = round(1.0 / args.n_classes, 4)
     out_path = os.path.join(REPO, args.out_prefix + ".json")
     with open(out_path, "w") as f:

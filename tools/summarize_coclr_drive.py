@@ -11,7 +11,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from drive_coclr_cycle import parse_epochs, parse_retrieval  # noqa: E402
+from drive_coclr_cycle import (SELF_RE, parse_epochs,  # noqa: E402
+                               parse_retrieval)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -51,8 +52,6 @@ def main():
                     report["phases"].setdefault(tag, {})[k] = ph[k]
 
     import re
-    self_re = re.compile(r"Epoch:\[(\d+)\]\[\s*\d+/\d+\].*?Self-acc@1 [\d.]+ "
-                         r"\(([\d.]+)\)")
     for tag in TRAIN_PHASES:
         path = os.path.join(logs, f"{tag}.log")
         if not os.path.exists(path):
@@ -60,7 +59,7 @@ def main():
         text = open(path).read()
         ph = report["phases"].setdefault(tag, {})
         ph["epochs"] = parse_epochs(text)
-        selfacc = {int(e): float(v) for e, v in self_re.findall(text)}
+        selfacc = {int(e): float(v) for e, v in SELF_RE.findall(text)}
         if selfacc:
             ph["self_acc1_final"] = selfacc[max(selfacc)]
     for tag in RETR_PHASES:
