@@ -15,6 +15,17 @@ Additional workloads (VERDICT-r2 ask #4, recorded in BASELINE.md):
                         .py 'extract' path: forward through ColorJitter).
   --workload ncrop      eval-mode classifier logits as the ten-crop TTA
                         consumes them (one crop == one clip here).
+  --workload k400       the InfoNCE step at the reference's K400 regime
+                        (moco-k 16384, README.md:58-72) — same program as
+                        `infonce` except the 16384-slot negative queue
+                        (round 4: the K400 config's only real-chip number;
+                        the queue matmul adds ~0.2 GFLOP/step, noise vs
+                        the ~7.5 TFLOP of conv work, so its cost-model
+                        units equal infonce's).
+  --workload finetune   the eval-suite finetune train step (eval/
+                        main_classifier.py:308-364 hot loop: jitter+flip
+                        preprocess, classifier fwd+bwd, SGD with the 'ft'
+                        backbone-lr/10 param-group scaling).
 
 `--timing window` (default) fences with ONE device-value fetch per 15-step
 window (the pretrain state carry / in-order device stream forces the whole
@@ -48,7 +59,8 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 55.0
 # no GPU exists in this environment to measure the true denominator.
 REFERENCE_RANGE = (35.0, 110.0)
 # compute-cost model in S3D-forward units (backward ~= 2 forwards)
-_COST_UNITS = {"infonce": 4.0, "coclr": 5.0, "retrieval": 1.0, "ncrop": 1.0}
+_COST_UNITS = {"infonce": 4.0, "coclr": 5.0, "retrieval": 1.0, "ncrop": 1.0,
+               "k400": 4.0, "finetune": 3.0}
 
 
 def _setup_jax():
@@ -119,17 +131,19 @@ def bench_pretrain(variant: str, timing: str = "window"):
     from coclr_tpu.parallel import make_pretrain_step
 
     T, S = 32, 128
+    model = "infonce" if variant == "k400" else variant
+    moco_k = 16384 if variant == "k400" else 2048
 
     def build(batch_size):
-        cfg = PretrainConfig(net="s3d", model=variant, seq_len=T,
-                             img_dim=S, batch_size=batch_size, moco_k=2048,
+        cfg = PretrainConfig(net="s3d", model=model, seq_len=T,
+                             img_dim=S, batch_size=batch_size, moco_k=moco_k,
                              compute_dtype="bfloat16", bn_shuffle="gather",
                              topk=5)
         encoder = ProjectionEncoder(network="s3d", dim=cfg.moco_dim,
                                     dtype=cfg.dtype)
         sample = jnp.zeros((1, T, S, S, 3), jnp.float32)
         state = moco.init_moco_state(jax.random.PRNGKey(0), encoder,
-                                     variant, sample, dim=cfg.moco_dim,
+                                     model, sample, dim=cfg.moco_dim,
                                      K=cfg.moco_k)
         step_fn, tx = make_pretrain_step(
             encoder, cfg, mesh=None,
@@ -184,10 +198,11 @@ def bench_pretrain(variant: str, timing: str = "window"):
     dt = _time_windows(run, fence=None if timing == "perstep" else fence)
     clips = batch_size * 2  # 2 clips per sample
     label = {"infonce": "S3D InfoNCE pretrain step",
+             "k400": "S3D InfoNCE pretrain step, K400 regime",
              "coclr": "S3D CoCLR co-training step (3rd fwd + top-k mining "
                       "+ double enqueue)"}[variant]
     return (f"clips/sec/chip, {label} (seq_len 32, batch {batch_size}, "
-            f"moco-k 2048, incl. on-device aug)", clips, dt,
+            f"moco-k {moco_k}, incl. on-device aug)", clips, dt,
             _COST_UNITS[variant])
 
 
@@ -294,11 +309,72 @@ def bench_ncrop(timing: str = "window"):
             _COST_UNITS["ncrop"])
 
 
+def bench_finetune(timing: str = "window"):
+    """The eval-suite finetune train step (eval/main_classifier.py:308-364):
+    on-device jitter/flip preprocess, 101-way classifier forward+backward
+    (dropout head, backbone BN training), SGD(momentum) with weight decay
+    and the 'ft' backbone-lr/10 param-group scaling."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from coclr_tpu.config import EvalConfig
+    from coclr_tpu.evalsuite.driver import build_model, init_classifier_state
+    from coclr_tpu.evalsuite.steps import make_classifier_steps
+
+    T, S = 32, 128
+
+    def build(batch_size):
+        cfg = EvalConfig(net="s3d", dataset="ucf101", seq_len=T, img_dim=S,
+                         batch_size=batch_size, train_what="ft",
+                         optim="sgd", lr=1e-3, wd=1e-3, dropout=0.9,
+                         compute_dtype="bfloat16")
+        model = build_model(cfg)
+        state = init_classifier_state(cfg, model)
+        train_step, _, tx = make_classifier_steps(model, cfg, mesh=None)
+        opt_state = jax.jit(tx.init)(state.params)
+
+        rng = np.random.RandomState(0)
+        batch = {
+            "seq": jnp.asarray(rng.randint(0, 255, (batch_size, T, S, S, 3),
+                                           np.uint8)),
+            "label": jnp.asarray(rng.randint(0, 101, (batch_size,))
+                                 .astype(np.int32)),
+        }
+        for i in range(3):
+            state, opt_state, metrics = train_step(
+                state, opt_state, batch, jax.random.PRNGKey(i),
+                jnp.float32(1e-3))
+        assert np.isfinite(float(metrics["loss"]))
+        return train_step, state, opt_state, batch
+
+    batch_size, (train_step, state, opt_state, batch) = _with_oom_fallback(
+        build)
+
+    keys = [jax.random.PRNGKey(100 + i) for i in range(200)]
+    lr = jnp.float32(1e-3)
+    box = [state, opt_state, None]
+
+    def run(i):
+        box[0], box[1], box[2] = train_step(box[0], box[1], batch,
+                                            keys[i], lr)
+        if timing == "perstep":
+            assert np.isfinite(float(box[2]["loss"]))
+
+    def fence():
+        assert np.isfinite(float(box[2]["loss"]))
+
+    dt = _time_windows(run, fence=None if timing == "perstep" else fence)
+    return (f"clips/sec/chip, S3D finetune train step (train_what=ft, "
+            f"seq_len 32, batch {batch_size}, incl. on-device aug)",
+            batch_size, dt, _COST_UNITS["finetune"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", "--model", dest="workload",
                     default="infonce",
-                    choices=["infonce", "coclr", "retrieval", "ncrop"])
+                    choices=["infonce", "coclr", "retrieval", "ncrop",
+                             "k400", "finetune"])
     ap.add_argument("--timing", default="window",
                     choices=["window", "perstep"],
                     help="window (default): one fencing value-fetch per "
@@ -307,10 +383,12 @@ def main():
                          "every step (rounds 1-2 methodology).")
     args = ap.parse_args()
 
-    if args.workload in ("infonce", "coclr"):
+    if args.workload in ("infonce", "coclr", "k400"):
         metric, clips, dt, units = bench_pretrain(args.workload, args.timing)
     elif args.workload == "retrieval":
         metric, clips, dt, units = bench_retrieval(args.timing)
+    elif args.workload == "finetune":
+        metric, clips, dt, units = bench_finetune(args.timing)
     else:
         metric, clips, dt, units = bench_ncrop(args.timing)
 

@@ -58,18 +58,25 @@ def scale_updates_by_group(updates, train_what: str):
 
 def preprocess_train(batch_seq_u8, rng, dtype):
     """[B, T, S, S, 3] uint8 -> normalized float: per-sample hflip p=.5 +
-    ColorJitter(0.4,0.4,0.4,0.1) @ p=.3 consistent + normalize."""
-    x = batch_seq_u8.astype(jnp.float32) / 255.0
+    ColorJitter(0.4,0.4,0.4,0.1) @ p=.3 consistent + normalize
+    (eval/main_classifier.py train transform).
 
-    def per_sample(clip, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        do_jit = jax.random.uniform(k1) < 0.3
-        clip = augment._color_jitter(clip, k2, do_jit)
-        do_flip = jax.random.uniform(k3) < 0.5
-        return jnp.where(do_flip, clip[:, :, ::-1, :], clip)
-
-    keys = jax.random.split(rng, x.shape[0])
-    x = jax.vmap(per_sample)(x, keys)
+    Round 4: jitter runs as the frame-flattened positional-select chain in
+    the compute dtype (augment.eval_color_jitter — per-clip factors/order,
+    so the consistent semantics and the sp/sph draw-sharing contract are
+    unchanged). The previous per-sample vmap(scan(switch)) formulation in
+    f32 executed all four jitter branches per scan step behind vmap/scan
+    fusion barriers — the exact pathology DESIGN.md round 3 measured on
+    the retrieval path — and held the finetune train step at 410
+    clips/s/chip (bench.py --workload finetune; measured-after number in
+    BASELINE.md round 4)."""
+    k_jit, k_flip = jax.random.split(rng)
+    x = batch_seq_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+    x = augment.eval_color_jitter(x, k_jit, p=0.3,
+                                  strength=(0.4, 0.4, 0.4, 0.1))
+    do_flip = jax.random.uniform(k_flip, (x.shape[0],)) < 0.5
+    x = jnp.where(do_flip[:, None, None, None, None],
+                  x[:, :, :, ::-1, :], x)
     return augment.normalize(x, dtype=dtype)
 
 
