@@ -160,8 +160,9 @@ def _build_finetune(jax, batch_size: int, seq_len: int, img: int):
     return run, fence, batch_size
 
 
-def _build_infonce(jax, batch_size: int, seq_len: int, img: int):
-    """Same program as bench.py::bench_pretrain('infonce')."""
+def _build_pretrain(jax, variant: str, batch_size: int, seq_len: int,
+                    img: int):
+    """Same program as bench.py::bench_pretrain(variant)."""
     import jax.numpy as jnp
 
     from coclr_tpu.config import PretrainConfig
@@ -170,14 +171,16 @@ def _build_infonce(jax, batch_size: int, seq_len: int, img: int):
     from coclr_tpu.ops.augment import make_pretrain_preprocess
     from coclr_tpu.parallel import make_pretrain_step
 
-    cfg = PretrainConfig(net="s3d", model="infonce", seq_len=seq_len,
-                         img_dim=img, batch_size=batch_size, moco_k=2048,
+    model = "infonce" if variant == "k400" else variant
+    cfg = PretrainConfig(net="s3d", model=model, seq_len=seq_len,
+                         img_dim=img, batch_size=batch_size,
+                         moco_k=16384 if variant == "k400" else 2048,
                          compute_dtype="bfloat16", bn_shuffle="gather",
                          topk=5)
     encoder = ProjectionEncoder(network="s3d", dim=cfg.moco_dim,
                                 dtype=cfg.dtype)
     sample = jnp.zeros((1, seq_len, img, img, 3), jnp.float32)
-    state = moco.init_moco_state(jax.random.PRNGKey(0), encoder, "infonce",
+    state = moco.init_moco_state(jax.random.PRNGKey(0), encoder, model,
                                  sample, dim=cfg.moco_dim, K=cfg.moco_k)
     step_fn, tx = make_pretrain_step(
         encoder, cfg, mesh=None,
@@ -189,9 +192,16 @@ def _build_infonce(jax, batch_size: int, seq_len: int, img: int):
                                 .astype(np.uint8)),
         "label": jnp.asarray(rng.randint(0, 101, (batch_size,))
                              .astype(np.int32)),
-        "seq": jnp.asarray(rng.randint(
-            0, 255, (batch_size, 2, seq_len, img, img, 3), np.uint8)),
     }
+    if variant == "coclr":
+        for key in ("seq_rgb", "seq_flow"):
+            batch[key] = jnp.asarray(rng.randint(
+                0, 255, (batch_size, 2, seq_len, img, img, 3), np.uint8))
+        batch["vname"] = jnp.asarray(
+            rng.randint(0, 9999, (batch_size,)).astype(np.int32))
+    else:
+        batch["seq"] = jnp.asarray(rng.randint(
+            0, 255, (batch_size, 2, seq_len, img, img, 3), np.uint8))
     box = [state, opt_state, None]
 
     def run(i):
@@ -208,7 +218,7 @@ def _build_infonce(jax, batch_size: int, seq_len: int, img: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="finetune",
-                    choices=["finetune", "infonce"])
+                    choices=["finetune", "infonce", "coclr", "k400"])
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--seq_len", type=int, default=32)
@@ -226,8 +236,9 @@ def main():
         run, fence, clips = _build_finetune(jax, args.batch_size,
                                             args.seq_len, args.img_dim)
     else:
-        run, fence, clips = _build_infonce(jax, args.batch_size,
-                                           args.seq_len, args.img_dim)
+        run, fence, clips = _build_pretrain(jax, args.workload,
+                                            args.batch_size,
+                                            args.seq_len, args.img_dim)
 
     # warm: compile + first-execution effects out of the trace
     for i in range(3):
