@@ -61,6 +61,42 @@ def test_parse_trace_uses_only_xla_ops_lane(tmp_path):
     assert names[0] == "convolution.5" and "17" not in names
 
 
+def test_parse_trace_suffixed_ops_lane_matches(tmp_path):
+    """Lane-name drift tolerance: 'XLA Ops#1' still counts as the op row."""
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name",
+         "args": {"name": "Steps"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops#1"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "17", "dur": 100.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.1", "dur": 40.0},
+    ]
+    out = parse_trace(_write_trace(tmp_path, events), steps=2)
+    assert out["device_us_per_step"] == 20.0
+
+
+def test_parse_trace_no_ops_lane_is_hard_error(tmp_path):
+    """Without an op-level row the only 'fallback' is summing overlapping
+    rows — the exact triple-counting bug the tool exists to avoid. Must
+    refuse, not silently inflate."""
+    import pytest
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name",
+         "args": {"name": "Steps"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "17", "dur": 100.0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_step", "dur": 100.0},
+    ]
+    with pytest.raises(SystemExit, match="triple-counts"):
+        parse_trace(_write_trace(tmp_path, events), steps=2)
+
+
 def test_category_mapping():
     assert _category("%convolution.123") == "convolution"
     assert _category("multiply_reduce_fusion.4") == "fusion"

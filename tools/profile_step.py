@@ -4,7 +4,8 @@ The reference ships no profiler (SURVEY.md §5.1); this tool is the
 round-4 instrument for the finetune-throughput question BASELINE.md
 left open ("not yet per-op profiled"): the eval-suite `train_what=ft`
 step measures 430 clips/s where the 3-forward-unit cost model predicts
-~502 (= 753 * 3/4). It captures a `jax.profiler` trace around N steps
+~502 (= 753 * 2/3: 3 units over 32 clips vs pretrain's 4 units over 64).
+It captures a `jax.profiler` trace around N steps
 of the same program `bench.py --workload finetune` times (or the
 pretrain step for a baseline), parses the Chrome-trace events, and
 aggregates XLA op device time per step by HLO category.
@@ -87,11 +88,18 @@ def parse_trace(logdir: str, steps: int, topk: int = 25):
     if not device_pids:
         raise SystemExit(f"no device lane found; pids: {pid_names}")
     # a device pid carries overlapping rows (Steps / XLA Modules / XLA Ops)
-    # that each cover the same device time — keep only the op-level row
+    # that each cover the same device time — keep only the op-level row.
+    # Prefix match tolerates renamed/suffixed lanes ("XLA Ops#1"); if no
+    # op lane exists at all, summing every lane would silently triple-count
+    # (Steps + Modules + Ops cover the same time), so that is a hard error.
     op_lanes = {k for k, n in tid_names.items()
-                if k[0] in device_pids and n == "XLA Ops"}
+                if k[0] in device_pids and n.startswith("XLA Ops")}
     if not op_lanes:
-        op_lanes = {k for k in tid_names if k[0] in device_pids}
+        lanes = {k: n for k, n in tid_names.items() if k[0] in device_pids}
+        raise SystemExit(
+            "no 'XLA Ops' device lane in trace (lanes: "
+            f"{sorted(lanes.values())}); refusing to sum all lanes — that "
+            "triple-counts device time (Steps/Modules/Ops overlap)")
     sys.stderr.write(f"device op lanes: "
                      f"{[(k, tid_names.get(k, '?')) for k in op_lanes]}\n")
 
@@ -148,11 +156,15 @@ def _build_finetune(jax, batch_size: int, seq_len: int, img: int):
                              .astype(np.int32)),
     }
     box = [state, opt_state, None]
+    # pre-create keys + device-resident lr OUTSIDE the traced loop: a fresh
+    # PRNGKey/scalar per step is a blocking host->device transfer (~RTT on
+    # the axon tunnel) that would inflate wall_us_per_step vs bench.py
+    keys = [jax.random.PRNGKey(i) for i in range(256)]
+    lr = jnp.float32(1e-3)
 
     def run(i):
         box[0], box[1], box[2] = train_step(box[0], box[1], batch,
-                                            jax.random.PRNGKey(i),
-                                            jnp.float32(1e-3))
+                                            keys[i % len(keys)], lr)
 
     def fence():
         assert np.isfinite(float(box[2]["loss"]))
@@ -203,11 +215,13 @@ def _build_pretrain(jax, variant: str, batch_size: int, seq_len: int,
         batch["seq"] = jnp.asarray(rng.randint(
             0, 255, (batch_size, 2, seq_len, img, img, 3), np.uint8))
     box = [state, opt_state, None]
+    # see _build_finetune: keys/lr pre-created outside the traced loop
+    keys = [jax.random.PRNGKey(i) for i in range(256)]
+    lr = jnp.float32(1e-3)
 
     def run(i):
         box[0], box[1], box[2] = step_fn(box[0], box[1], batch,
-                                         jax.random.PRNGKey(i),
-                                         jnp.float32(1e-3))
+                                         keys[i % len(keys)], lr)
 
     def fence():
         assert np.isfinite(float(box[2]["loss"]))
