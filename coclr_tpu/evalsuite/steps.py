@@ -56,27 +56,59 @@ def scale_updates_by_group(updates, train_what: str):
         for k, v in updates.items()}
 
 
-def preprocess_train(batch_seq_u8, rng, dtype):
+def preprocess_train(batch_seq_u8, rng, dtype, backend: str = "auto"):
     """[B, T, S, S, 3] uint8 -> normalized float: per-sample hflip p=.5 +
     ColorJitter(0.4,0.4,0.4,0.1) @ p=.3 consistent + normalize
     (eval/main_classifier.py train transform).
 
-    Round 4: jitter runs as the frame-flattened positional-select chain in
-    the compute dtype (augment.eval_color_jitter — per-clip factors/order,
-    so the consistent semantics and the sp/sph draw-sharing contract are
-    unchanged). The previous per-sample vmap(scan(switch)) formulation in
-    f32 executed all four jitter branches per scan step behind vmap/scan
-    fusion barriers — the exact pathology DESIGN.md round 3 measured on
-    the retrieval path — and held the finetune train step at 410
-    clips/s/chip (bench.py --workload finetune; measured-after number in
-    BASELINE.md round 4)."""
+    Round 4 moved the jitter to the frame-flattened positional-select
+    chain (augment.eval_color_jitter), 410 -> 430 clips/s. Round 5
+    (profile-guided, tools/profile_step.py — the `rev`/`reduce` tail the
+    r4 profile attributed to train-BN is actually HERE, per the trace's
+    per-op `source` attribution):
+      (a) the per-sample hflip moved to the UINT8 input. Flip commutes
+          with the whole jitter chain exactly — every op is pixel-local
+          and contrast's per-frame luma mean is flip-invariant — so the
+          result is element-identical while the activation-sized bf16
+          `rev.40` (0.90 ms/step, steps.py:79 in the r4 trace) becomes a
+          4x-smaller u8 reverse.
+      (b) on TPU backends the jitter+normalize chain runs as the fused
+          Pallas VMEM kernel (ops/pallas_aug.py, gray disabled): one u8
+          read + one `dtype` write per frame instead of the 4-position
+          select chain's ~16 candidate passes + the unfused f32 contrast
+          reduces + the separate normalize. Parameter draws are SHARED
+          with the XLA path (augment.eval_color_jitter_params), so
+          backend choice changes numerics only by f32-vs-dtype rounding.
+    The per-clip-consistent semantics and the sp draw-sharing contract
+    (factors are drawn with batch-shaped keys only, so T-chunked
+    application under `sp` is exact) are unchanged. Under `sph` this
+    function must see the FULL height: the contrast mean is per-frame
+    (make_classifier_steps uploads train clips H-replicated and slices
+    after — the round-4 H-sharded spec silently computed chunk-local
+    means whenever jitter triggered)."""
     k_jit, k_flip = jax.random.split(rng)
-    x = batch_seq_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+    b, t = batch_seq_u8.shape[0], batch_seq_u8.shape[1]
+    do_flip = jax.random.uniform(k_flip, (b,)) < 0.5
+    x_u8 = jnp.where(do_flip[:, None, None, None, None],
+                     batch_seq_u8[:, :, :, ::-1, :], batch_seq_u8)
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
+    if backend == "pallas":
+        from coclr_tpu.ops.pallas_aug import fused_jitter_normalize
+
+        fb, fc, fs, fh, codes = augment.eval_color_jitter_params(
+            k_jit, b, p=0.3, strength=(0.4, 0.4, 0.4, 0.1))
+        rep = lambda v: jnp.repeat(v, t)  # noqa: E731 (clip -> frame)
+        s1, s2 = batch_seq_u8.shape[2], batch_seq_u8.shape[3]
+        xp = jnp.transpose(x_u8.reshape(b * t, s1, s2, 3), (0, 3, 1, 2))
+        y = fused_jitter_normalize(
+            xp, rep(fb), rep(fc), rep(fs), rep(fh),
+            jnp.full((b * t,), -1, jnp.int32), rep(codes), out_dtype=dtype)
+        return jnp.transpose(y, (0, 2, 3, 1)).reshape(batch_seq_u8.shape)
+    x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
     x = augment.eval_color_jitter(x, k_jit, p=0.3,
                                   strength=(0.4, 0.4, 0.4, 0.1))
-    do_flip = jax.random.uniform(k_flip, (x.shape[0],)) < 0.5
-    x = jnp.where(do_flip[:, None, None, None, None],
-                  x[:, :, :, ::-1, :], x)
     return augment.normalize(x, dtype=dtype)
 
 
@@ -86,7 +118,7 @@ def preprocess_eval(batch_seq_u8, dtype):
 
 
 def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
-                *, model, cfg, tx, axis_name, grad_axes=None):
+                *, model, cfg, tx, axis_name, grad_axes=None, h_ax=None):
     if axis_name is not None:
         # fold over the DATA axes only: sp members of one data shard hold
         # T chunks of the SAME clips, so their aug/dropout draws must match
@@ -94,6 +126,13 @@ def _train_step(state: ClassifierState, opt_state, batch, rng, lr,
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
     rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, 0))
     x = preprocess_train(batch["seq"], rng_aug, cfg.dtype)
+    if h_ax is not None:
+        # clips arrive H-replicated (preprocess needs the full frame for
+        # the per-frame contrast mean); each sph member takes its H chunk
+        # here — a local contiguous slice, no collective
+        hsz = x.shape[2] // jax.lax.axis_size(h_ax)
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(h_ax) * hsz, hsz, axis=2)
     label = batch["label"]
 
     train_backbone = cfg.train_what != "last"
@@ -180,7 +219,8 @@ def make_classifier_steps(model, cfg, mesh=None):
         "construct the classifier with sp_axis=sp_axis_of(mesh)")
     grad_axes = tuple(mesh.axis_names) if mesh is not None else None
     train = functools.partial(_train_step, model=model, cfg=cfg, tx=tx,
-                              axis_name=axis_name, grad_axes=grad_axes)
+                              axis_name=axis_name, grad_axes=grad_axes,
+                              h_ax=h_ax)
     evals = functools.partial(_eval_step, model=model, cfg=cfg,
                               axis_name=axis_name)
     if mesh is not None and sp is not None:
@@ -189,15 +229,26 @@ def make_classifier_steps(model, cfg, mesh=None):
         def batch_specs(batch):
             # clip leaves are [B, T, S, S, 3]: T is dim 1 here (the driver
             # squeezes the window dim), unlike pretrain's [B, 2, T, ...].
-            # Unlike pretrain, eval batches arrive host-augmented and the
-            # in-step preprocess is pixel-local (normalize), so clips can
-            # be H-sharded over `sph` directly (dim 2).
+            # EVAL batches arrive host-augmented and the in-step preprocess
+            # is pixel-local (normalize), so clips H-shard over `sph`
+            # directly (dim 2).
             return {k: (P(DATA_AXIS, t_ax, h_ax) if batch[k].ndim >= 3
+                        else P(DATA_AXIS)) for k in batch}
+
+        def train_batch_specs(batch):
+            # TRAIN clips stay H-REPLICATED into the step: the ColorJitter
+            # contrast mean is per-FRAME, so an H-chunked preprocess would
+            # compute a chunk-local mean and silently diverge from the
+            # unsharded recipe whenever jitter triggers (round-5 fix;
+            # T-chunking stays exact — factors are per-clip and every op
+            # is frame-local). _train_step slices each member's H chunk
+            # AFTER preprocess.
+            return {k: (P(DATA_AXIS, t_ax) if batch[k].ndim >= 3
                         else P(DATA_AXIS)) for k in batch}
 
         train_call = lazy_shard_jit(
             train, mesh,
-            lambda b: ((P(), P(), batch_specs(b), P(), P()),
+            lambda b: ((P(), P(), train_batch_specs(b), P(), P()),
                        (P(), P(), P())),
             batch_pos=2, donate_argnums=(0, 1))
         evals_call = lazy_shard_jit(

@@ -184,6 +184,31 @@ def _color_jitter(x, key, apply, strength=(0.4, 0.4, 0.4, 0.1)):
     return x
 
 
+def eval_color_jitter_params(key, m, p=0.3, strength=(0.2, 0.2, 0.2, 0.1)):
+    """Per-clip RandomApply(p) ColorJitter parameter draws — the ONE place
+    the eval/classifier jitter streams are drawn, shared by the XLA
+    positional-select chain (`eval_color_jitter`) and the fused Pallas
+    kernel path (`evalsuite.steps.preprocess_train`), so backend choice
+    changes numerics only by f32-vs-compute-dtype rounding. Returns [m]
+    f32 factors (fb, fc, fs centered at 1; hue delta fh centered at 0)
+    and [m] int32 packed per-clip op orders (`pack_orders`)."""
+    sb, sc, ss, sh = strength
+    kp, kb, kc, ks, kh, ko = jax.random.split(key, 6)
+    do = jax.random.uniform(kp, (m,)) < p
+
+    def factor(k, spread):
+        f = jax.random.uniform(k, (m,), minval=max(0.0, 1.0 - spread),
+                               maxval=1.0 + spread)
+        return jnp.where(do, f, 1.0)
+
+    fb, fc, fs = factor(kb, sb), factor(kc, sc), factor(ks, ss)
+    fh = jnp.where(do, jax.random.uniform(kh, (m,), minval=-sh, maxval=sh),
+                   0.0)
+    codes = pack_orders(jax.vmap(
+        lambda k: jax.random.permutation(k, 4))(jax.random.split(ko, m)))
+    return fb, fc, fs, fh, codes
+
+
 def eval_color_jitter(x, key, p=0.3, strength=(0.2, 0.2, 0.2, 0.1)):
     """Per-clip RandomApply(p) ColorJitter for eval-mode feature extraction
     (the reference extracts retrieval/probe features THROUGH a
@@ -198,24 +223,12 @@ def eval_color_jitter(x, key, p=0.3, strength=(0.2, 0.2, 0.2, 0.1)):
     select-over-all-branches) but in f32 with scan/vmap fusion barriers,
     costing as much as the S3D forward it fed (DESIGN.md round 3)."""
     m, L = x.shape[0], x.shape[1]
-    sb, sc, ss, sh = strength
-    kp, kb, kc, ks, kh, ko = jax.random.split(key, 6)
-    do = jax.random.uniform(kp, (m,)) < p
-
-    def factor(k, spread):
-        f = jax.random.uniform(k, (m,), minval=max(0.0, 1.0 - spread),
-                               maxval=1.0 + spread)
-        return jnp.repeat(jnp.where(do, f, 1.0), L)
-
-    fb = factor(kb, sb).astype(x.dtype)[:, None, None, None]
-    fc = factor(kc, sc).astype(x.dtype)[:, None, None, None]
-    fs = factor(ks, ss).astype(x.dtype)[:, None, None, None]
-    fh = jnp.repeat(jnp.where(
-        do, jax.random.uniform(kh, (m,), minval=-sh, maxval=sh), 0.0),
-        L).astype(x.dtype)[:, None, None]
-    codes = jnp.repeat(pack_orders(jax.vmap(
-        lambda k: jax.random.permutation(k, 4))(jax.random.split(ko, m))),
-        L)
+    pfb, pfc, pfs, pfh, pcodes = eval_color_jitter_params(key, m, p, strength)
+    fb = jnp.repeat(pfb, L).astype(x.dtype)[:, None, None, None]
+    fc = jnp.repeat(pfc, L).astype(x.dtype)[:, None, None, None]
+    fs = jnp.repeat(pfs, L).astype(x.dtype)[:, None, None, None]
+    fh = jnp.repeat(pfh, L).astype(x.dtype)[:, None, None]
+    codes = jnp.repeat(pcodes, L)
 
     shape = x.shape
     xf = x.reshape((m * L,) + shape[2:])

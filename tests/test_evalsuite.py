@@ -234,3 +234,50 @@ def test_eval_crop_double_resample():
     clip = policy.crop_clip(np.random.RandomState(3), [frame, frame])
     assert clip.shape == (2, 64, 64, 3)
     np.testing.assert_array_equal(clip[0], clip[1])  # consistent crop
+
+
+def test_preprocess_train_pallas_matches_xla():
+    """The classifier train preprocess's Pallas path (fused jitter+normalize
+    kernel, round 5) must match the XLA positional-select chain — shared
+    parameter draws (augment.eval_color_jitter_params), so the only
+    difference is f32-vs-compute-dtype rounding (here both f32)."""
+    import jax.numpy as jnp
+
+    from coclr_tpu.evalsuite.steps import preprocess_train
+
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randint(0, 255, (4, 3, 16, 16, 3)).astype(np.uint8))
+    # several rngs so jitter triggers (p=0.3 per clip) on some samples
+    for i in range(4):
+        rng = jax.random.PRNGKey(100 + i)
+        a = preprocess_train(x, rng, jnp.float32, backend="xla")
+        b = preprocess_train(x, rng, jnp.float32, backend="pallas")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_preprocess_train_u8_flip_order_is_identity_change():
+    """Round 5 moved the hflip to the uint8 input (before cast+jitter).
+    Flip commutes with the jitter chain exactly (pixel-local ops; the
+    contrast mean is flip-invariant), so jitter-then-flip must equal
+    flip-then-jitter element-for-element."""
+    import jax.numpy as jnp
+
+    from coclr_tpu.evalsuite.steps import preprocess_train
+    from coclr_tpu.ops import augment
+
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randint(0, 255, (4, 3, 16, 16, 3)).astype(np.uint8))
+    rng = jax.random.PRNGKey(77)
+    new = preprocess_train(x, rng, jnp.float32, backend="xla")
+    # the round-4 order: cast -> jitter -> flip -> normalize
+    k_jit, k_flip = jax.random.split(rng)
+    old = x.astype(jnp.float32) / 255.0
+    old = augment.eval_color_jitter(old, k_jit, p=0.3,
+                                    strength=(0.4, 0.4, 0.4, 0.1))
+    do = jax.random.uniform(k_flip, (x.shape[0],)) < 0.5
+    old = jnp.where(do[:, None, None, None, None],
+                    old[:, :, :, ::-1, :], old)
+    old = augment.normalize(old, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               rtol=1e-6, atol=1e-6)

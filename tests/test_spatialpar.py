@@ -479,3 +479,74 @@ def test_sph_upload_keeps_h_replicated():
     assert spec3[0] == "data" and spec3[2] == SP_AXIS, spec3
     shard3 = b3["seq"].addressable_shards[0].data
     assert shard3.shape == (2, 2, 4, 16, 16, 3), shard3.shape
+
+
+def test_sph_classifier_train_jitter_triggered_equivalence():
+    """Round-5 regression test for the H-sharded train-preprocess bug: the
+    ColorJitter contrast mean is per-FRAME, so the round-4 H-sharded spec
+    computed a chunk-local mean whenever jitter triggered — the earlier
+    equivalence test passed only because its seeds never drew an apply.
+    This test PROVES jitter triggers (same key arithmetic as _train_step)
+    and still requires (data=2, sph=2) == (data=2)."""
+    from coclr_tpu.config import EvalConfig
+    from coclr_tpu.evalsuite.steps import (ClassifierState,
+                                           make_classifier_steps)
+    from coclr_tpu.models.classifier import LinearClassifier
+    from coclr_tpu.parallel import make_mesh
+    from coclr_tpu.parallel.mesh import sp_axis_of
+
+    T, S, NC = 4, 16, 5
+    cfg = EvalConfig(net="tiny", optim="sgd", wd=1e-3, dropout=0.5,
+                     train_what="ft", compute_dtype="float32",
+                     seq_len=T, img_dim=S, batch_size=2)
+
+    # find an rng whose per-data-shard aug draws trigger jitter on BOTH
+    # shards (replicating _train_step's fold: axis_index -> fold_in(.,0)
+    # -> split -> k_jit -> eval_color_jitter_params' kp draw, p=0.3)
+    def triggers(rng):
+        hits = []
+        for idx in range(2):  # data axis size 2
+            r = jax.random.fold_in(rng, idx)
+            rng_aug = jax.random.split(jax.random.fold_in(r, 0))[0]
+            k_jit = jax.random.split(rng_aug)[0]
+            kp = jax.random.split(k_jit, 6)[0]
+            hits.append(bool(np.any(
+                np.asarray(jax.random.uniform(kp, (2,))) < 0.3)))
+        return all(hits)
+
+    rng = next(jax.random.PRNGKey(s) for s in range(200)
+               if triggers(jax.random.PRNGKey(s)))
+
+    def build(mesh):
+        model = LinearClassifier(
+            num_class=NC, network="tiny", dropout=cfg.dropout,
+            use_dropout=True, use_l2_norm=False, use_final_bn=False,
+            dtype=jnp.float32, sp_axis=sp_axis_of(mesh))
+        sample = jnp.zeros((1, T, S, S, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, sample, train=False)
+        state = ClassifierState(params=variables["params"],
+                                batch_stats=variables["batch_stats"],
+                                step=jnp.zeros((), jnp.int32))
+        tr, ev, tx = make_classifier_steps(model, cfg, mesh)
+        return state, tr, tx
+
+    s_dp, tr_dp, tx = build(make_mesh(2))
+    s_sph, tr_sph, _ = build(make_mesh(4, sph_size=2))
+    o_dp = jax.jit(tx.init)(s_dp.params)
+    o_sph = jax.jit(tx.init)(s_sph.params)
+
+    r = np.random.RandomState(11)
+    batch = {"seq": jnp.asarray(
+                 r.randint(0, 255, (4, T, S, S, 3)).astype(np.uint8)),
+             "label": jnp.asarray(r.randint(0, NC, (4,)))}
+    s_dp, o_dp, m_dp = tr_dp(s_dp, o_dp, batch, rng, jnp.float32(1e-2))
+    s_sph, o_sph, m_sph = tr_sph(s_sph, o_sph, batch, rng, jnp.float32(1e-2))
+
+    np.testing.assert_allclose(float(m_sph["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sph.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=3e-5)

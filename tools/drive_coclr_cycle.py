@@ -190,6 +190,28 @@ def main():
                     help="fraction of train clips rendered too short, to "
                          "exercise the reference drop-short filter at scale "
                          "(lmdb_dataset.py:84-108); test split unaffected")
+    ap.add_argument("--downstream_train_what", default="last",
+                    choices=["last", "ft"],
+                    help="downstream classifier mode: 'last' = frozen-"
+                         "backbone linear probe (rounds 2-4); 'ft' = the "
+                         "reference's HEADLINE finetune recipe (backbone at "
+                         "lr/10, eval/main_classifier.py:137-141) whose "
+                         "10-crop TTA numbers are the published table "
+                         "(README.md:159-161)")
+    ap.add_argument("--tta_max_windows", default=0, type=int,
+                    help=">0: ten-crop TTA decodes only the center N hop "
+                         "windows per video (eval --max_windows); the TTA "
+                         "pass is 10 full test-set sweeps — decode-bound "
+                         "on few-core hosts")
+    ap.add_argument("--schedule_nce", default=[], nargs="*", type=int,
+                    help="LR decay milestones for the nce_rgb init phase "
+                         "(reference drops x0.1 at 250/280 of 300 epochs, "
+                         "README.md:28-32 — scale to the drive's epoch "
+                         "count so the decay lands mid-run)")
+    ap.add_argument("--retrieval_last_cycle_only", action="store_true",
+                    help="run per-cycle retrievals only after the LAST "
+                         "cycle (each full-cardinality retrieval pass is "
+                         "~25 min on the axon tunnel)")
     ap.add_argument("--skip_tta", action="store_true",
                     help="downstream: run the linear probes but skip the "
                          "ten-crop TTA + fusion (decode-bound: ~10 full "
@@ -336,9 +358,13 @@ def main():
 
     t_start = time.time()
     # 1+2: InfoNCE inits (README.md:28-40)
+    nce_rgb_extra = []
+    if args.schedule_nce:
+        nce_rgb_extra = ["--schedule"] + [str(s) for s in args.schedule_nce]
     phase("nce_rgb", "main_nce.py",
           ["--model", "infonce", "--dataset", "ucf101-2clip",
-           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_rgb"],
+           "--epochs", str(args.epochs_nce), "--prefix", "cyc_nce_rgb"]
+          + nce_rgb_extra,
           prefix="cyc_nce_rgb")
     rgb_init = latest_ckpt(wd, "cyc_nce_rgb")
     phase("nce_flow", "main_nce.py",
@@ -427,8 +453,9 @@ def main():
                "--pretrain", flow_latest, rgb_latest])
         flow_latest = latest_ckpt(wd, rm_prefix)
 
-        retrieval(f"retrieval_rgb_{retr}", rgb_latest, "ucf101")
-        retrieval(f"retrieval_flow_{retr}", flow_latest, "ucf101-f")
+        if not args.retrieval_last_cycle_only or cyc == args.cycles:
+            retrieval(f"retrieval_rgb_{retr}", rgb_latest, "ucf101")
+            retrieval(f"retrieval_flow_{retr}", flow_latest, "ucf101-f")
     rgb_c1, flow_c1 = rgb_latest, flow_latest  # downstream: final ckpts
 
     # 5 (round 3+): the downstream-eval chain on the cycle checkpoints —
@@ -443,32 +470,41 @@ def main():
                        "--data_root", data_root, "-j", str(args.workers),
                        "--num_devices", str(args.num_devices)]
         prob_json = {}
+        tw = args.downstream_train_what
+        cls_prefix = "cycp" if tw == "last" else "cycft"
         for mod, ckpt, dataset in (("rgb", rgb_c1, "ucf101"),
                                    ("flow", flow_c1, "ucf101-f")):
-            tag = f"probe_{mod}_coclr"
+            tag = (f"probe_{mod}_coclr" if tw == "last"
+                   else f"finetune_{mod}_coclr")
             run_cli(tag, [os.path.join(REPO, "eval", "main_classifier.py"),
-                          "--dataset", dataset, "--train_what", "last",
+                          "--dataset", dataset, "--train_what", tw,
                           "--pretrain", ckpt,
                           "--epochs", str(args.epochs_probe),
-                          "--prefix", f"cycp_{mod}"] + eval_common,
+                          "--prefix", f"{cls_prefix}_{mod}"] + eval_common,
                     wd, log_dir,
                     done_marker=f"val epoch {args.epochs_probe - 1}:")
             bests = glob.glob(os.path.join(
-                wd, f"log-eval-cycp_{mod}", "*", "model",
+                wd, f"log-eval-{cls_prefix}_{mod}", "*", "model",
                 "model_best_*.ckpt"))
             if not bests:
                 # no epoch ever beat val top1 0.0 (possible at smoke scale)
                 # -> no model_best was written; test the last epoch instead
                 bests = glob.glob(os.path.join(
-                    wd, f"log-eval-cycp_{mod}", "*", "model", "epoch*.ckpt"))
+                    wd, f"log-eval-{cls_prefix}_{mod}", "*", "model",
+                    "epoch*.ckpt"))
             if not bests:
-                raise RuntimeError(f"no probe ckpt for {mod}")
+                raise RuntimeError(f"no classifier ckpt for {mod}")
             best = max(bests, key=os.path.getmtime)
             if args.skip_tta:
                 continue
             run_cli(tag + "_tencrop",
                     [os.path.join(REPO, "eval", "main_classifier.py"),
-                     "--dataset", dataset, "--test", best, "--ten_crop"]
+                     "--dataset", dataset, "--test", best, "--ten_crop",
+                     # --train_what selects the head structure (final_bn /
+                     # l2norm / dropout) the checkpoint was trained with —
+                     # the reference CLI contract (main_classifier.py:102-109)
+                     "--train_what", tw,
+                     "--max_windows", str(args.tta_max_windows)]
                     + eval_common, wd, log_dir, done_marker="Mean: Acc@1")
             jsons = glob.glob(os.path.join(os.path.dirname(best),
                                            "*-prob-ten.json"))
@@ -482,7 +518,10 @@ def main():
                      "--class_ind", os.path.join(meta_dir, "ClassInd.txt")],
                     wd, log_dir, done_marker="merged accuracy")
 
-        feat_dir = os.path.join(wd, "feat_retrieval_rgb_coclr")
+        # features cached by the LAST cycle's rgb retrieval (tag grammar of
+        # the cycle loop above; cycle 1 keeps its historical name)
+        retr_last = "coclr" if args.cycles == 1 else f"cycle{args.cycles}"
+        feat_dir = os.path.join(wd, f"feat_retrieval_rgb_{retr_last}")
         run_cli("feature_probe_rgb",
                 [os.path.join(REPO, "eval", "feature_linear_probe.py"),
                  "--test", os.path.join(feat_dir, "x"),

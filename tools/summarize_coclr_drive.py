@@ -73,22 +73,34 @@ def main():
     # checkpoints (eval/main_classifier.py --train_what last), their N-crop
     # TTA tests, the two-stream fusion, and the feature-space probe
     for mod in ("rgb", "flow"):
-        probe = os.path.join(logs, f"probe_{mod}_coclr.log")
-        if os.path.exists(probe):
-            vals = re.findall(r"val epoch (\d+): loss [\d.]+ top1 ([\d.]+)",
-                              open(probe).read())
-            if vals:
-                report["phases"][f"probe_{mod}_coclr"] = {
-                    "best_val_top1": max(float(v) for _, v in vals),
-                    "epochs_run": int(vals[-1][0]) + 1}
-        tencrop = os.path.join(logs, f"probe_{mod}_coclr_tencrop.log")
-        if os.path.exists(tencrop):
-            means = re.findall(r"Mean: Acc@1: ([\d.]+) Acc@5: ([\d.]+)",
-                               open(tencrop).read())
-            if means:
-                report["phases"].setdefault(f"probe_{mod}_coclr", {}).update(
-                    {"tencrop_top1": float(means[-1][0]),
-                     "tencrop_top5": float(means[-1][1])})
+        # 'probe_' = frozen linear probe (--train_what last, rounds 2-4);
+        # 'finetune_' = the reference's headline recipe (--train_what ft,
+        # round 5) — a drive runs one or the other (downstream_train_what)
+        for kind in ("probe", "finetune"):
+            tag = f"{kind}_{mod}_coclr"
+            probe = os.path.join(logs, f"{tag}.log")
+            if os.path.exists(probe):
+                vals = re.findall(
+                    r"val epoch (\d+): loss [\d.]+ top1 ([\d.]+)",
+                    open(probe).read())
+                if vals:
+                    report["phases"][tag] = {
+                        "best_val_top1": max(float(v) for _, v in vals),
+                        "epochs_run": int(vals[-1][0]) + 1}
+            tencrop = os.path.join(logs, f"{tag}_tencrop.log")
+            if os.path.exists(tencrop):
+                # the ten-crop pass prints Mean lines at the center / five /
+                # ten checkpoints, in that order (ncrop.run_ncrop_test)
+                means = re.findall(r"Mean: Acc@1: ([\d.]+) Acc@5: ([\d.]+)",
+                                   open(tencrop).read())
+                if means:
+                    ph = report["phases"].setdefault(tag, {})
+                    ph.update({"tencrop_top1": float(means[-1][0]),
+                               "tencrop_top5": float(means[-1][1])})
+                    if len(means) == 3:
+                        ph["tta_center_top1"] = float(means[0][0])
+                        ph["tta_five_top1"] = float(means[1][0])
+                        ph["tta_ten_top1"] = float(means[2][0])
     merge = os.path.join(logs, "merge_2stream.log")
     if os.path.exists(merge):
         m = re.search(r"merged accuracy: ([\d.]+) \+ ([\d.]+) => ([\d.]+)",
@@ -164,17 +176,28 @@ def main():
             lines.append(f"| {tag.replace('retrieval_', '')} | "
                          f"{ph['R@1']:.3f} | {ph.get('R@5', float('nan')):.3f} |")
     for mod in ("rgb", "flow"):
-        pr = report["phases"].get(f"probe_{mod}_coclr")
-        if pr and "tencrop_top1" in pr:
+        for kind, desc in (("probe", "linear probe (`--train_what last`, "
+                                     "frozen backbone)"),
+                           ("finetune", "finetune (`--train_what ft`, "
+                                        "backbone at lr/10 — the "
+                                        "reference's headline recipe, "
+                                        "README.md:92-103)")):
+            pr = report["phases"].get(f"{kind}_{mod}_coclr")
+            if not pr or "tencrop_top1" not in pr:
+                continue
+            tta = (f"center {pr['tta_center_top1']:.3f} / five "
+                   f"{pr['tta_five_top1']:.3f} / ten "
+                   f"{pr['tta_ten_top1']:.3f}"
+                   if "tta_ten_top1" in pr else
+                   f"top-1 {pr['tencrop_top1']:.3f}")
             lines += [
                 "",
                 f"Downstream eval on the CoCLR-{mod.upper()} checkpoint: "
-                f"linear probe (`--train_what last`, "
-                f"{pr.get('epochs_run', '?')} epochs, frozen backbone) "
+                f"{desc}, {pr.get('epochs_run', '?')} epochs, "
                 f"best val top-1 **{pr.get('best_val_top1', float('nan')):.3f}**"
-                f" (chance {args.chance}), then ten-crop TTA on the held-out "
-                f"groups (`--test ... --ten_crop`): top-1 "
-                f"{pr['tencrop_top1']:.3f}, top-5 {pr['tencrop_top5']:.3f}.",
+                f" (chance {args.chance}), then N-crop TTA on the held-out "
+                f"groups (`--test ... --ten_crop`) top-1: {tta} "
+                f"(top-5 {pr['tencrop_top5']:.3f} at ten).",
             ]
     mg = report["phases"].get("merge_2stream")
     if mg:
