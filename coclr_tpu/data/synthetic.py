@@ -361,28 +361,64 @@ def make_synthetic_ucf(root: str, n_classes: int = 2, n_groups: int = 2,
 
 def make_synthetic_k400(root: str, n_classes: int = 2, n_videos: int = 4,
                         n_frames: int = 24, size: Tuple[int, int] = (64, 80),
-                        flow: bool = False, seed: int = 0):
+                        flow: bool = False, seed: int = 0,
+                        in_memory: bool = False, frames_unique: int = 6,
+                        splits=("train", "val"), progress: bool = False):
     """K400-shaped dataset: '<class>/<video>' CSV rows (no trailing slash),
     {train,val}_split.csv, video_source.json keyed by vname
-    (lmdb_dataset.py:569-575,823)."""
+    (lmdb_dataset.py:569-575,823).
+
+    in_memory (round 5, for K400-SCALE builds — VERDICT-r4 ask #6 needs
+    O(30-60k) videos, unbuildable through the frames-dir path in bounded
+    time): JPEG byte lists go straight into the LMDB
+    (convert.make_dataset_lmdb_from_videos), and each video renders+
+    encodes only `frames_unique` distinct frames which CYCLE through its
+    `nf` stored slots (byte-string reuse — the LMDB stores every frame,
+    the loader decodes every frame; only the ENCODE count shrinks ~8x).
+    The content is random texture, not the learnable class code: a 1-epoch
+    scale drive measures the data path and queue dynamics, not accuracy.
+    `splits` limits which LMDB files are written (train and val contain
+    the same record set, as in the frames-dir path; each file is a full
+    copy, so skip 'val' when only pretraining)."""
     rng = np.random.RandomState(seed)
     meta_dir = os.path.join(root, "meta")
     frames_dir = os.path.join(root, "frame")
     flow_dir = os.path.join(root, "flow")
     os.makedirs(meta_dir, exist_ok=True)
+    mem_rgb = {} if in_memory else None
+    mem_flow = {} if in_memory else None
 
-    classes = ["action%02d" % i for i in range(n_classes)]
+    classes = ["action%03d" % i for i in range(n_classes)]
     rows = []
     source_map = {}
+    t0 = time.time()
     for ci, cname in enumerate(classes):
+        if progress and ci % 20 == 0:
+            print(f"[synth-k400] class {ci}/{n_classes} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
         for v in range(n_videos):
             vid = "vid_%s_%03d" % (cname, v)
             nf = n_frames + rng.randint(0, 8)
-            _write_video_frames(os.path.join(frames_dir, cname, vid), nf,
-                                size, rng)
-            if flow:
-                _write_video_frames(os.path.join(flow_dir, cname, vid),
-                                    max(1, nf - 1), size, rng)
+            if in_memory:
+                name = "%s/%s" % (cname, vid)
+                h, w = size
+                nu = min(frames_unique, nf)
+                base = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+                frames = np.clip(
+                    base[None].astype(np.int16)
+                    + rng.randint(-20, 20, size=(nu, h, w, 3)),
+                    0, 255).astype(np.uint8)
+                enc = _encode_frames(frames)
+                mem_rgb[name] = [enc[i % nu] for i in range(nf)]
+                if flow:
+                    nff = max(1, nf - 1)
+                    mem_flow[name] = [enc[(i + 1) % nu] for i in range(nff)]
+            else:
+                _write_video_frames(os.path.join(frames_dir, cname, vid), nf,
+                                    size, rng)
+                if flow:
+                    _write_video_frames(os.path.join(flow_dir, cname, vid),
+                                        max(1, nf - 1), size, rng)
             rows.append(("%s/%s" % (cname, vid), nf, v))
             source_map["%s/%s" % (cname, vid)] = len(source_map)
 
@@ -399,13 +435,24 @@ def make_synthetic_k400(root: str, n_classes: int = 2, n_videos: int = 4,
                 f.write("/synth/k400/%s,%d\n" % (path, nf))
 
     out = {"root": meta_dir}
-    for split, subset_dir in (("train", frames_dir), ("val", frames_dir)):
+    for split in splits:
         db = os.path.join(root, "k400_frame_%s.lmdb" % split)
-        make_dataset_lmdb(frames_dir, db, workers=4)
+        if in_memory:
+            from coclr_tpu.data.convert import make_dataset_lmdb_from_videos
+
+            make_dataset_lmdb_from_videos(mem_rgb, db)
+        else:
+            make_dataset_lmdb(frames_dir, db, workers=4)
         out["db_path_%s" % split] = db
     if flow:
-        for split in ("train", "val"):
+        for split in splits:
             db = os.path.join(root, "k400_tvl1_frame_%s.lmdb" % split)
-            make_dataset_lmdb(flow_dir, db, workers=4)
+            if in_memory:
+                from coclr_tpu.data.convert import (
+                    make_dataset_lmdb_from_videos)
+
+                make_dataset_lmdb_from_videos(mem_flow, db)
+            else:
+                make_dataset_lmdb(flow_dir, db, workers=4)
             out["db_path_flow_%s" % split] = db
     return out

@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (round 5): the big-program tests (full S3D
+# fwd+bwd under sp/sph meshes) cost minutes of XLA:CPU compile per run on
+# this 1-core box; cached reruns replay in seconds. Same cache dir the
+# driver dryrun and the chip benches use (.jax_cache/, gitignored).
+from coclr_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -44,3 +44,33 @@ def test_k400_strict_short_filter(synth):
     # videos have 24..31 frames; those with <= 25 are dropped
     for i in range(len(ds)):
         assert int(ds.video_subset.iloc[i][1]) - 24 - 1 > 0
+
+
+def test_k400_in_memory_builder_matches_frames_path(tmp_path):
+    """The round-5 in-memory K400 builder (direct-to-LMDB, cycled unique
+    frames) must produce a dataset the K400 classes read identically to
+    the frames-dir path: same split join, same per-video frame counts,
+    decodable JPEGs, and the flow db's vlen (nf-1) driving the merge."""
+    from coclr_tpu.data.datasets import K400_LMDB_2CLIP, K400_Flow_LMDB_2CLIP
+    from coclr_tpu.data.synthetic import make_synthetic_k400
+
+    out = make_synthetic_k400(str(tmp_path / "m"), n_classes=2, n_videos=3,
+                              n_frames=16, size=(48, 64), flow=True, seed=1,
+                              in_memory=True, frames_unique=4,
+                              splits=("train",))
+    ds = K400_LMDB_2CLIP(db_path=out["db_path_train"], root=out["root"],
+                         mode="train", num_frames=4, ds=1, img_dim=32,
+                         seed=0)
+    assert len(ds) == 4  # 2 classes x (3-1) train videos
+    sample = ds[0]
+    assert sample["seq"].shape[0] == 2  # two clips
+    from coclr_tpu.data.datasets import K400_2STREAM_LMDB_2CLIP
+
+    dsf = K400_2STREAM_LMDB_2CLIP(
+        db_path_rgb=out["db_path_train"],
+        db_path_flow=out["db_path_flow_train"],
+        root=out["root"], mode="train", num_frames=4, ds=1, img_dim=32,
+        seed=0)
+    assert len(dsf) == 4
+    s2 = dsf[1]
+    assert s2["seq_rgb"].shape[0] == 2 and s2["seq_flow"].shape[0] == 2
