@@ -182,3 +182,42 @@ def test_partial_nce_requires_log_progress():
     assert drive.parse_epochs(LOG)  # real progress lines qualify
     degenerate = "Epoch: [0][0] T-epoch:0.00\nTraining finished\n"
     assert not drive.parse_epochs(degenerate)
+
+
+def test_summarize_scale_drive(tmp_path):
+    """tools/summarize_scale_drive.py (the K400-regime scale-drive
+    artifact): pins the progress-line grammar and the derived metrics —
+    dataset size = steps x batch, queue-fill step = K/batch, steady-state
+    median step time skips the warmup, deciles come from the
+    instantaneous Loss column."""
+    scale = _load("summarize_scale_drive")
+    lines = []
+    for s in range(0, 100, 5):
+        t = 60.0 if s == 0 else 2.0  # step 0 carries compile
+        loss = 6.0 - s * 0.01
+        lines.append(
+            f"Epoch:[0][{s:3d}/100]\tTime {t:.4f} ({t:.4f})\t"
+            f"Data 0.0010 (0.0500)\tLoss {loss:.4f} ({loss:.4f})\t"
+            f"acc@1 0.1000 (0.1000)\tacc@5 0.3000 (0.3000)")
+    log = tmp_path / "k4.log"
+    log.write_text("\n".join(lines) + "\n")
+
+    r = scale.summarize(str(log), "k4test", batch_size=32, moco_k=1024,
+                        notes=["synthetic"])
+    assert r["dataset_videos"] == 3200
+    assert r["steps_per_epoch"] == 100
+    assert r["queue_first_full_step"] == 32
+    assert r["step_time_median_s"] == 2.0  # warmup step excluded
+    assert r["clips_per_sec"] == 32.0      # 64 clips / 2 s
+    assert abs(r["loss_first_decile"] - 5.975) < 1e-6  # steps 0,5
+    assert abs(r["loss_last_decile"] - 5.075) < 1e-6   # steps 90,95
+    md = scale.to_markdown(r)
+    assert "3,200" in md and "synthetic" in md
+
+    # CLI writes both artifacts
+    scale.main(["--log", str(log), "--name", "k4test", "--batch_size",
+                "32", "--moco_k", "1024", "--out_root", str(tmp_path)])
+    import json
+    with open(tmp_path / "DRIVE_k4test.json") as f:
+        assert json.load(f)["clips_per_sec"] == 32.0
+    assert (tmp_path / "DRIVE_k4test.md").exists()
