@@ -137,9 +137,11 @@ def load_pretrained_backbone(state: ClassifierState, path: str
 
 def run_classifier_train(cfg: EvalConfig, train_dataset=None,
                          val_dataset=None, max_steps: int = 0):
-    from coclr_tpu.utils import enable_compilation_cache
+    from coclr_tpu.utils import (enable_compilation_cache,
+                                 pin_malloc_mmap_threshold)
 
     enable_compilation_cache()
+    pin_malloc_mmap_threshold()  # host-RSS creep fix (utils docstring)
     n_dev = len(jax.devices())
     if cfg.num_devices:
         n_dev = min(n_dev, cfg.num_devices)

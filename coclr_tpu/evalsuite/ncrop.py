@@ -49,6 +49,9 @@ def run_ncrop_test(model, state, cfg, make_dataset, out_dir: str,
         aug_list, flip_list, title = [5, 1, 2, 3, 4], [0, 1], "ten"
 
     from coclr_tpu.ops.augment import _color_jitter, normalize
+    from coclr_tpu.utils import pin_malloc_mmap_threshold
+
+    pin_malloc_mmap_threshold()  # host-RSS creep fix (utils docstring)
 
     @jax.jit
     def prob_fn(state_, clips, key):

@@ -65,6 +65,9 @@ def extract_features(model, state, dataset, cfg, clip_batch: int = 32,
     augment.eval_color_jitter — the round-2 f32 vmap/scan formulation cost
     as much as the S3D forward it fed (985 -> see BASELINE.md round 3)."""
     from coclr_tpu.ops.augment import eval_color_jitter, normalize
+    from coclr_tpu.utils import pin_malloc_mmap_threshold
+
+    pin_malloc_mmap_threshold()  # host-RSS creep fix (utils docstring)
 
     @jax.jit
     def feat_fn(state_, clips, key):

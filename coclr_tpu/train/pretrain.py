@@ -238,10 +238,12 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
                  loader=None):
     """Train per cfg. `dataset`/`max_steps` are injectable for tests/bench."""
     from coclr_tpu.parallel import multihost
-    from coclr_tpu.utils import enable_compilation_cache
+    from coclr_tpu.utils import (enable_compilation_cache,
+                                 pin_malloc_mmap_threshold)
 
     multihost.maybe_initialize(cfg)  # before the first device query
     enable_compilation_cache()
+    pin_malloc_mmap_threshold()  # the 129 GB drive-OOM fix (see docstring)
     nproc = jax.process_count()
     mesh_devices = None
     if nproc > 1:
@@ -452,6 +454,8 @@ def run_pretrain(cfg: PretrainConfig, dataset=None, max_steps: int = 0,
         if preempted:  # partial epoch: no boundary logging/checkpoint
             break
 
+        from coclr_tpu.utils import malloc_trim
+        malloc_trim()  # return any residual arena slack to the OS
         print(f"Epoch: [{epoch}][{steps_this_epoch}] T-epoch:"
               f"{time.time() - tic:.2f}")
         logger.log(f"epoch {epoch} loss {meters['Loss'].avg:.4f} "
