@@ -141,11 +141,13 @@ class ResNet2d3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from coclr_tpu.ops.seqpar import sp_axes, spatial_halo, temporal_halo
+        from coclr_tpu.ops.seqpar import (drop_h, gather_h, sp_axes,
+                                          spatial_halo, temporal_halo)
 
         d = self.dtype
         x = x.astype(d)
-        sp = None if self.is_initializing() else self.sp_axis
+        sp_mod = self.sp_axis  # spec handed to submodules
+        sp = None if self.is_initializing() else sp_mod
         t_ax, h_ax = sp_axes(sp)
 
         t_pad, h_pad = (2, 2), (3, 3)
@@ -158,17 +160,32 @@ class ResNet2d3d(nn.Module):
             x = temporal_halo(x, 2, 2, t_ax)
             t_pad = (0, 0)
         if h_ax is not None:
-            assert x.shape[2] % 32 == 0, (
-                f"spatially-sequence-parallel ResNet-2d3d needs the local H "
-                f"chunk ({x.shape[2]}) divisible by the total spatial "
-                f"stride 32")
+            assert x.shape[2] % 2 == 0, (
+                f"spatially-sequence-parallel ResNet-2d3d needs an even "
+                f"local H chunk ({x.shape[2]}) for the stride-2 stem")
             x = spatial_halo(x, 3, 3, h_ax)
             h_pad = (0, 0)
+
+        def degrade_h(x, sp_mod, sp, h_ax):
+            """Before a stride-2 H site: if the local H chunk no longer
+            tiles the stride, all-gather H once and drop the sph axis for
+            every later module — same late-gather fallback as S3D
+            (exactness argument: seqpar.gather_h), so ANY img_dim works
+            at any sph (e.g. 224: layer4's input H=14 doesn't tile 2
+            shards; the gather fires there, where activations are
+            smallest)."""
+            if h_ax is None or x.shape[2] % 2 == 0:
+                return x, sp_mod, sp, h_ax
+            if not self.is_initializing():
+                x = gather_h(x, h_ax)
+            sp_mod = drop_h(sp_mod)
+            return x, sp_mod, (None if self.is_initializing() else sp_mod), None
         x = nn.Conv(64, kernel_size=(5, 7, 7), strides=(2, 2, 2),
                     padding=[t_pad, h_pad, (3, 3)], use_bias=False,
                     kernel_init=kaiming_init, dtype=d,
                     param_dtype=jnp.float32, name="conv1")(x)
         x = bn_relu(x, train, d, name="bn1", sp_axis=sp)
+        x, sp_mod, sp, h_ax = degrade_h(x, sp_mod, sp, h_ax)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
                         sp_axis=sp)
 
@@ -177,6 +194,8 @@ class ResNet2d3d(nn.Module):
             is_3d = self.blocks_3d[li]
             n_blocks = self.layers[li]
             is_final = li == 3
+            if li > 0:  # layers 2-4 open with a stride-(1,2,2) block
+                x, sp_mod, sp, h_ax = degrade_h(x, sp_mod, sp, h_ax)
             for bi in range(n_blocks):
                 if bi == 0:
                     # layer1 stride 1; layers2-4 stride (1,2,2)
@@ -191,7 +210,7 @@ class ResNet2d3d(nn.Module):
                     stride=stride,
                     use_final_relu=use_final_relu,
                     dtype=d,
-                    sp_axis=self.sp_axis,
+                    sp_axis=sp_mod,
                     name=f"layer{li + 1}_{bi}",
                 )(x, train)
 

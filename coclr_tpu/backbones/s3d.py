@@ -368,15 +368,18 @@ class S3D(nn.Module):
     s2d_stem: bool = False
     # sequence parallelism (ops/seqpar.py): None, a temporal mesh-axis name,
     # or an SPAxes(t, h). The local T chunk must be divisible by the total
-    # temporal stride (8, or 4 with slow=True); the local H chunk by the
-    # total spatial stride (32) — e.g. img_dim 128/192/256 at sph 2
-    # (160 fails: local H=80 is not a multiple of 32; 224 fails too:
-    # its block-5 pool input H=14 doesn't tile over 2 shards).
+    # temporal stride (8, or 4 with slow=True); the local H chunk must be
+    # EVEN (the stem's stride 2). Deeper stride-2 sites that no longer
+    # tile the shrinking local H chunk fall back via `seqpar.gather_h`:
+    # the full H is all-gathered once and the remaining (tiny) blocks run
+    # replicated over `sph` — so 160/224 work at sph 2 (round 5; they
+    # failed the old H%32 contract), gathering only at block 5 where
+    # activations are smallest. 128/192/256 stay sharded end-to-end.
     sp_axis: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from coclr_tpu.ops.seqpar import sp_axes
+        from coclr_tpu.ops.seqpar import drop_h, gather_h, sp_axes
 
         d = self.dtype
         sp = self.sp_axis
@@ -392,9 +395,20 @@ class S3D(nn.Module):
                 f"sequence-parallel S3D needs the local T chunk ({x.shape[1]})"
                 f" divisible by the total temporal stride {div}")
         if h_ax is not None:
-            assert x.shape[2] % 32 == 0, (
-                f"spatially-sequence-parallel S3D needs the local H chunk "
-                f"({x.shape[2]}) divisible by the total spatial stride 32")
+            assert x.shape[2] % 2 == 0, (
+                f"spatially-sequence-parallel S3D needs an even local H "
+                f"chunk ({x.shape[2]}) for the stride-2 stem")
+
+        def degrade_h(x, sp, sp_now, h_ax):
+            """Before a stride-2 H site: if the local H chunk no longer
+            tiles the stride, all-gather H once and drop the sph axis for
+            every later module (exactness argument: seqpar.gather_h)."""
+            if h_ax is None or x.shape[2] % 2 == 0:
+                return x, sp, sp_now, h_ax
+            if not self.is_initializing():
+                x = gather_h(x, h_ax)
+            sp = drop_h(sp)
+            return x, sp, (None if self.is_initializing() else sp), None
 
         # block1 (s3dg.py:143-147)
         t_stride = 1 if self.slow else 2
@@ -404,6 +418,7 @@ class S3D(nn.Module):
 
         # block2 (s3dg.py:151-158); the pool is spatial-only, so it needs
         # sp_axis only for the H halo under spatial sequence parallelism
+        x, sp, sp_now, h_ax = degrade_h(x, sp, sp_now, h_ax)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
                         sp_axis=sp_now)
         x = BasicConv3d(64, (1, 1, 1), (1, 1, 1), (0, 0, 0), d, sp_axis=sp, name="Conv_2b")(x, train)
@@ -420,12 +435,14 @@ class S3D(nn.Module):
             Sep = nn.remat(SepInception, static_argnums=(2,))
 
         # block3 (s3dg.py:162-169)
+        x, sp, sp_now, h_ax = degrade_h(x, sp, sp_now, h_ax)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)],
                         sp_axis=sp_now)
         x = Sep([64, 96, 128, 16, 32, 32], self.gating, d, sp_axis=sp, name="Mixed_3b")(x, train)
         x = Sep([128, 128, 192, 32, 96, 64], self.gating, d, sp_axis=sp, name="Mixed_3c")(x, train)
 
         # block4 (s3dg.py:173-186)
+        x, sp, sp_now, h_ax = degrade_h(x, sp, sp_now, h_ax)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), [(1, 1)] * 3, sp_axis=sp_now)
         x = Sep([192, 96, 208, 16, 48, 64], self.gating, d, sp_axis=sp, name="Mixed_4b")(x, train)
         x = Sep([160, 112, 224, 24, 64, 64], self.gating, d, sp_axis=sp, name="Mixed_4c")(x, train)
@@ -434,6 +451,7 @@ class S3D(nn.Module):
         x = Sep([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_4f")(x, train)
 
         # block5 (s3dg.py:190-197)
+        x, sp, sp_now, h_ax = degrade_h(x, sp, sp_now, h_ax)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), [(0, 0)] * 3, sp_axis=sp_now)
         x = Sep([256, 160, 320, 32, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5b")(x, train)
         x = Sep([384, 192, 384, 48, 128, 128], self.gating, d, sp_axis=sp, name="Mixed_5c")(x, train)

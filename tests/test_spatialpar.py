@@ -550,3 +550,52 @@ def test_sph_classifier_train_jitter_triggered_equivalence():
                     jax.tree_util.tree_leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=3e-5)
+
+
+def test_sph_late_gather_s3d_train_48():
+    """S3D at img 48 under sph=2: the local H chunk stops tiling at the
+    block-4 pool (24 -> 12 -> 6 -> 3, odd), so the backbone all-gathers H
+    there (seqpar.gather_h) and runs blocks 4-5 replicated. Train-mode
+    forward + BN stats + pmean-combined grads must equal unsharded —
+    pins the gather's psum_scatter transpose against the uniform-pmean
+    grad combine (round 5; 48 is the cheapest gather-triggering size).
+
+    tol 5e-5 (not the default 1e-5): pre-gather BN means reduce H as
+    local-sum + psum vs the unsharded single sum; the re-associated f32
+    accumulation drifts the deep blocks' running stats by a measured max
+    of 1.8e-5 abs (23/256 elements of one 256-ch stat vector; values
+    O(1e-4..1e-1)). A systematic sph-factor error would miss by O(value)
+    everywhere, which stays excluded at 5e-5."""
+    _encoder_equiv_sph("s3d", b=1, t=8, hw=48, mesh_shape=(2,),
+                       sp_spec=SPAxes(h=SPH_AXIS), train=True, tol=5e-5)
+
+
+def test_sph_late_gather_s3d_224():
+    """img_dim 224 at sph=2 — the VERDICT-r4 case the old H%32 contract
+    excluded: sharded through block 4 (H 112 -> 7 locally), gathered at
+    the block-5 pool (global H=14 doesn't tile over 2 shards). Eval-mode
+    forward + grads vs unsharded."""
+    _encoder_equiv_sph("s3d", b=1, t=8, hw=224, mesh_shape=(2,),
+                       sp_spec=SPAxes(h=SPH_AXIS), train=False)
+
+
+def test_sph_late_gather_r50_48():
+    """ResNet-2d3d-50 late gather: at img 48 / sph=2 the local H chunk
+    runs 24 (stem) -> 12 (pool) -> 6 (layer2) -> 3, odd, so H is
+    all-gathered before layer3's stride-2 block and layers 3-4 run
+    sph-replicated (degrade_h in ResNet2d3d, round 5 — same fallback as
+    S3D, lifting the old H%32 contract). Eval-mode forward + grads vs
+    unsharded."""
+    _encoder_equiv_sph("r50", b=1, t=8, hw=48, mesh_shape=(2,),
+                       sp_spec=SPAxes(h=SPH_AXIS), train=False)
+
+
+def test_sph_late_gather_sp_composition():
+    """(sp=2, sph=2) with the late gather: T stays sharded after H is
+    gathered (drop_h keeps the temporal axis), BN stats sync over both
+    axes pre-gather and t-only post-gather. tol 5e-5: same re-associated
+    f32 accumulation drift as test_sph_late_gather_s3d_train_48 (measured
+    max 1.3e-5 abs on 1/576 elements in the standalone repro)."""
+    _encoder_equiv_sph("s3d", b=1, t=16, hw=48, mesh_shape=(2, 2),
+                       sp_spec=SPAxes(t=SP_AXIS, h=SPH_AXIS), train=True,
+                       tol=5e-5)
